@@ -1,0 +1,76 @@
+"""SDF world tests: analytic composition + trilinear grid sampling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import oracle
+from tpustomp.world.sdf import AnalyticWorld, GridSDF, sdf, sdf_grad
+
+
+def test_analytic_sphere_distance():
+    w = AnalyticWorld.make(spheres=[((0.0, 0.0, 0.0), 0.5)])
+    p = jnp.array([[2.0, 0.0, 0.0], [0.0, 0.25, 0.0]])
+    np.testing.assert_allclose(np.asarray(sdf(w, p)), [1.5, -0.25], atol=1e-6)
+
+
+def test_analytic_box_distance():
+    w = AnalyticWorld.make(boxes=[((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))])
+    pts = jnp.array([
+        [2.0, 0.0, 0.0],    # outside, face: d=1
+        [2.0, 2.0, 0.0],    # outside, edge: d=sqrt(2)
+        [0.0, 0.0, 0.5],    # inside: d=-0.5
+    ])
+    np.testing.assert_allclose(
+        np.asarray(sdf(w, pts)), [1.0, np.sqrt(2), -0.5], atol=1e-6)
+
+
+def test_analytic_min_composition():
+    w = AnalyticWorld.make(spheres=[((0, 0, 0), 0.5), ((3, 0, 0), 1.0)])
+    p = jnp.array([[2.0, 0.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(sdf(w, p)), [0.0], atol=1e-6)
+
+
+def _random_grid(seed=0, shape=(9, 8, 7)):
+    rng = np.random.default_rng(seed)
+    grid = rng.standard_normal(shape).astype(np.float32)
+    return GridSDF(grid=jnp.asarray(grid), origin=jnp.asarray([-0.5, 0.2, 0.1],
+                   jnp.float32), resolution=jnp.float32(0.05)), grid
+
+
+def test_trilinear_matches_oracle():
+    w, grid = _random_grid()
+    origin = np.array([-0.5, 0.2, 0.1])
+    rng = np.random.default_rng(1)
+    pts = origin + rng.uniform(0.02, 0.25, (20, 3))
+    got = np.asarray(sdf(w, jnp.asarray(pts, jnp.float32)))
+    want = [oracle.trilinear(grid, origin, 0.05, p) for p in pts]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_trilinear_exact_at_corners():
+    w, grid = _random_grid(2)
+    origin = np.array([-0.5, 0.2, 0.1])
+    for idx in [(0, 0, 0), (3, 4, 2), (8, 7, 6)]:
+        p = origin + np.array(idx) * 0.05
+        got = float(sdf(w, jnp.asarray(p, jnp.float32)))
+        assert abs(got - grid[idx]) < 1e-5
+
+
+def test_grid_gradient_matches_finite_difference():
+    w, grid = _random_grid(3)
+    origin = np.array([-0.5, 0.2, 0.1])
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(origin + rng.uniform(0.05, 0.2, (10, 3)), jnp.float32)
+    d, g = sdf_grad(w, pts)
+    h = 1e-4
+    for ax in range(3):
+        dp = jnp.zeros(3).at[ax].set(h)
+        fd = (np.asarray(sdf(w, pts + dp)) - np.asarray(sdf(w, pts - dp))) / (2 * h)
+        np.testing.assert_allclose(np.asarray(g[:, ax]), fd, atol=1e-2)
+
+
+def test_analytic_gradient_is_unit_outward_for_sphere():
+    w = AnalyticWorld.make(spheres=[((0.0, 0.0, 0.0), 0.5)])
+    p = jnp.array([[2.0, 0.0, 0.0]])
+    d, g = sdf_grad(w, p)
+    np.testing.assert_allclose(np.asarray(g[0]), [1, 0, 0], atol=1e-3)

@@ -1,0 +1,185 @@
+"""Planner configuration — the full parameter surface of the reference planner.
+
+Reference equivalent: ``StompParameters::initFromNodeHandle`` reading ~20 knobs
+from the ROS parameter server (SURVEY.md §3.1 "Parameters", §7.3 for the knob
+list; mount empty at build time so names follow SURVEY §7.3). Here the knobs
+are frozen, hashable dataclasses so a config can be a ``jax.jit`` static
+argument; YAML round-trip via :func:`load_yaml` / :func:`to_dict`.
+
+Every constant whose reference value is uncertain (tagged [L] in SURVEY.md) is
+isolated here so a later diff against a populated reference mount is a config
+change, not a rewrite (SURVEY §8.3 hard part 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class SmoothnessConfig:
+    """Finite-difference smoothness operator R = sum_d w_d A_d^T A_d.
+
+    Reference equivalent: ``CovariantTrajectoryPolicy``/``StompCost`` building
+    R from DIFF_RULES stencils (SURVEY §3.1, Appendix A.2).
+    """
+
+    # Derivative weights (velocity, acceleration, jerk). Reference default:
+    # acceleration-only (0/1/0 typical, SURVEY §7.3 [L]).
+    weight_velocity: float = 0.0
+    weight_acceleration: float = 1.0
+    weight_jerk: float = 0.0
+    # "fd3": classic 3-point stencils (STOMP paper formulation);
+    # "fd5": 5-point central stencils (higher-order, closer to the reference's
+    # 7-point DIFF_RULES family). Either satisfies the A.2 contract if used
+    # consistently in R, sampling, and M.
+    stencil: str = "fd3"
+    # Tikhonov ridge added to R (reference `ridge_factor`, default 0/tiny).
+    ridge_factor: float = 0.0
+
+    def derivative_weights(self) -> Tuple[float, float, float]:
+        return (self.weight_velocity, self.weight_acceleration, self.weight_jerk)
+
+
+@dataclass(frozen=True)
+class NoiseConfig:
+    """Exploration noise for PI^2 rollouts (SURVEY Appendix A.3)."""
+
+    # Per-joint noise stddev in radians. A scalar here is broadcast over
+    # joints; per-joint overrides go through `stddev_per_joint`.
+    stddev: float = 0.05
+    stddev_per_joint: Tuple[float, ...] = ()  # empty = broadcast `stddev`
+    # Multiplicative decay of stddev per iteration (reference `noise_decay`).
+    decay: float = 0.99
+    # Number of best rollouts kept (noise retained, not resampled) across
+    # iterations (reference `num_rollouts_reused`).
+    num_rollouts_reused: int = 5
+
+
+@dataclass(frozen=True)
+class CostWeights:
+    """Weights of the cost terms (SURVEY §7.3)."""
+
+    obstacle: float = 1.0
+    smoothness: float = 0.1
+    constraint: float = 1.0
+    torque: float = 0.0  # off by default, as in the reference
+
+
+@dataclass(frozen=True)
+class PlannerConfig:
+    """Top-level planner knobs.
+
+    Reference equivalent: `StompParameters` + per-request fields of the
+    `GetMotionPlan` call (SURVEY §3.1, §7.3). Frozen + hashable => usable as a
+    jit static argument; the arrays it parameterizes are rebuilt (and cached)
+    whenever (num_timesteps, dt, smoothness) change.
+    """
+
+    # --- trajectory discretization -------------------------------------
+    num_timesteps: int = 100        # N free (interior) waypoints
+    duration: float = 5.0           # seconds; dt = duration / (N + 1)
+
+    # --- iteration budget ----------------------------------------------
+    max_iterations: int = 500
+    max_iterations_after_collision_free: int = 5
+    # Wall-clock analogue of the reference's planning_time_limit. On TPU the
+    # loop is compiled with a fixed max trip count; this limit is enforced by
+    # the host-side replan loop (api/plan.py) between device steps.
+    planning_time_limit: float = 10.0
+
+    # --- STOMP (PI^2) ---------------------------------------------------
+    num_rollouts: int = 10          # K new noisy rollouts per iteration
+    noise: NoiseConfig = field(default_factory=NoiseConfig)
+    # PI^2 inverse-temperature h in P_k(t) = softmax_k(-h * S~_k(t)).
+    # Reference value h=10 (SURVEY A.9 [M]).
+    pi2_h: float = 10.0
+
+    # --- CHOMP mode -----------------------------------------------------
+    mode: str = "stomp"             # "stomp" | "chomp"
+    learning_rate: float = 0.1      # CHOMP eta (stomp mode ignores it)
+    use_pseudo_inverse: bool = False
+    pseudo_inverse_ridge_factor: float = 1e-4
+    use_hamiltonian_monte_carlo: bool = False  # reference flag; off (SURVEY A.11 [L])
+    hmc_step_size: float = 0.01
+    hmc_leapfrog_steps: int = 10
+    hmc_temperature: float = 1.0
+
+    # --- costs ----------------------------------------------------------
+    weights: CostWeights = field(default_factory=CostWeights)
+    smoothness: SmoothnessConfig = field(default_factory=SmoothnessConfig)
+    # Obstacle-potential clearance epsilon in meters (reference
+    # `collision_clearance`, SURVEY A.4).
+    collision_clearance: float = 0.05
+    # Signed distance (beyond sphere radius) above which a body is counted
+    # collision-free for termination (reference `collision_threshold`).
+    collision_threshold: float = 0.0
+
+    # --- joint limits ---------------------------------------------------
+    # Bounded trip count for the smoothness-preserving limit projection
+    # (reference iterates until clean; SURVEY A.7 + §8.3 hard part 3).
+    joint_limit_iterations: int = 10
+
+    # --- viz / debug (reference animate_path / animate_endeffector) -----
+    animate_path: bool = False
+    animate_endeffector: bool = False
+    # Record per-iteration cost breakdown arrays in the Solution.
+    record_metrics: bool = True
+
+    # ---------------------------------------------------------------------
+    @property
+    def dt(self) -> float:
+        return self.duration / (self.num_timesteps + 1)
+
+    def noise_stddevs(self, num_joints: int) -> Tuple[float, ...]:
+        if self.noise.stddev_per_joint:
+            if len(self.noise.stddev_per_joint) != num_joints:
+                raise ValueError(
+                    f"stddev_per_joint has {len(self.noise.stddev_per_joint)} "
+                    f"entries, robot has {num_joints} joints"
+                )
+            return tuple(self.noise.stddev_per_joint)
+        return tuple(float(self.noise.stddev) for _ in range(num_joints))
+
+    def replace(self, **kw) -> "PlannerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def to_dict(cfg) -> dict:
+    """Recursively convert a config dataclass to a plain dict (YAML/JSON-able)."""
+    return dataclasses.asdict(cfg)
+
+
+def _from_dict(cls, d: dict):
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            v = _from_dict(f.type, v)
+        elif f.name == "noise":
+            v = NoiseConfig(**{**v, "stddev_per_joint": tuple(v.get("stddev_per_joint", ()))}) if isinstance(v, dict) else v
+        elif f.name == "weights":
+            v = CostWeights(**v) if isinstance(v, dict) else v
+        elif f.name == "smoothness":
+            v = SmoothnessConfig(**v) if isinstance(v, dict) else v
+        elif isinstance(v, list):
+            v = tuple(v)
+        kw[f.name] = v
+    return cls(**kw)
+
+
+def from_dict(d: dict) -> PlannerConfig:
+    return _from_dict(PlannerConfig, d)
+
+
+def load_yaml(path: str) -> PlannerConfig:
+    """Load a PlannerConfig from a YAML file (reference: config/*.yaml)."""
+    import yaml  # baked into the image via transformers deps
+
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    return from_dict(d.get("planner", d))

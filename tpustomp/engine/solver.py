@@ -1,0 +1,191 @@
+"""The optimizer loop: one pure jitted step inside `lax.while_loop`.
+
+Reference equivalents (SURVEY §2, §4.3): ``StompOptimizer::optimize`` +
+``PolicyImprovementLoop::runSingleIteration`` + the `Task::execute` callback
+inversion between L4 and L5. TPU-first, the inversion disappears: a single
+pure function `_stomp_step`/`_chomp_step` contains
+sample → joint-limit project → FK+SDF cost → PI² softmax → M-smoothed update,
+batched over rollouts with vmap; the outer iteration is a `lax.while_loop`
+with (iteration, collision-free counter, best-so-far) in the carry (A.12
+termination). `vmap` over scenarios stacks on top (api/plan.py); converged
+scenarios freeze via the while-loop's done predicate (SURVEY §8.3 part 4).
+
+Deviations from the reference, documented:
+  - Reused rollouts are re-evaluated each iteration instead of carrying cached
+    costs. On TPU the K rollouts are one batched evaluation, so re-evaluating
+    the handful of reused ones is free and removes stale-cost bookkeeping;
+    numerics are identical because the cost is deterministic in θ_k.
+  - The planning_time_limit is enforced by the host replan wrapper between
+    device calls (api/plan.py), not inside the compiled loop; the in-loop
+    budget is max_iterations.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tpustomp.api.config import PlannerConfig
+from tpustomp.api.problem import IterationMetrics, Solution
+from tpustomp.costs.constraints import constraint_cost
+from tpustomp.costs.obstacle import obstacle_cost
+from tpustomp.costs.smoothness import smoothness_cost
+from tpustomp.dynamics.device import DeviceOps
+from tpustomp.engine import pi2
+from tpustomp.engine.chomp import chomp_delta
+from tpustomp.engine.limits import project_limits
+from tpustomp.engine.sampling import sample_noise
+from tpustomp.engine.trajectory import full_trajectory, min_jerk_init
+from tpustomp.robot.model import RobotSpec
+
+
+@struct.dataclass
+class SolverState:
+    theta: jnp.ndarray        # [N, d] current free waypoints
+    key: jax.Array
+    iteration: jnp.ndarray    # int32
+    best_theta: jnp.ndarray   # [N, d]
+    best_cost: jnp.ndarray    # scalar
+    cf_count: jnp.ndarray     # int32 — consecutive collision-free iterations
+    done: jnp.ndarray         # bool
+    reuse_theta: jnp.ndarray  # [K_reuse, N, d] best rollout trajectories
+    m_total: jnp.ndarray      # metrics arrays, [max_iterations]
+    m_obstacle: jnp.ndarray
+    m_smooth: jnp.ndarray
+    m_constraint: jnp.ndarray
+    m_cf: jnp.ndarray
+
+
+def _evaluate(robot, world, constraints, cfg: PlannerConfig, ops: DeviceOps,
+              q0, qN, theta):
+    """State-cost row S [N+2], margin, and cost breakdown for one trajectory."""
+    full = full_trajectory(theta, q0, qN)
+    q_obs, margin = obstacle_cost(robot, world, full, cfg.dt,
+                                  cfg.collision_clearance)
+    q_con = constraint_cost(robot, constraints, full)
+    S = cfg.weights.obstacle * q_obs + cfg.weights.constraint * q_con
+    ctrl = smoothness_cost(ops, theta, q0, qN)
+    total = jnp.sum(S) + cfg.weights.smoothness * ctrl
+    return S, margin, total, (jnp.sum(q_obs), ctrl, jnp.sum(q_con))
+
+
+def _record(state: SolverState, it, total, parts, cf) -> dict:
+    return dict(
+        m_total=state.m_total.at[it].set(total),
+        m_obstacle=state.m_obstacle.at[it].set(parts[0]),
+        m_smooth=state.m_smooth.at[it].set(parts[1]),
+        m_constraint=state.m_constraint.at[it].set(parts[2]),
+        m_cf=state.m_cf.at[it].set(cf),
+    )
+
+
+def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
+              ops: DeviceOps, q0, qN):
+    """Build the per-iteration pure function (mode chosen at trace time)."""
+    sigma0 = jnp.asarray(cfg.noise_stddevs(robot.num_joints), jnp.float32)
+    project = lambda th: project_limits(th, robot.joint_lower, robot.joint_upper,
+                                        robot.joint_limited, ops.Rinv,
+                                        cfg.joint_limit_iterations)
+    evaluate = lambda th: _evaluate(robot, world, constraints, cfg, ops, q0, qN, th)
+
+    def finish(state, theta_new, extra_updates):
+        S_new, margin, total, parts = evaluate(theta_new)
+        cf = margin > cfg.collision_threshold
+        cf_count = jnp.where(cf, state.cf_count + 1, jnp.int32(0))
+        improved = total < state.best_cost
+        it = state.iteration
+        new_it = it + 1
+        done = ((new_it >= cfg.max_iterations)
+                | (cf_count >= cfg.max_iterations_after_collision_free))
+        return state.replace(
+            theta=theta_new,
+            iteration=new_it,
+            best_theta=jnp.where(improved, theta_new, state.best_theta),
+            best_cost=jnp.where(improved, total, state.best_cost),
+            cf_count=cf_count,
+            done=done,
+            **_record(state, it, total, parts, cf),
+            **extra_updates,
+        )
+
+    def stomp_step(state: SolverState) -> SolverState:
+        it = state.iteration
+        decay = jnp.power(jnp.float32(cfg.noise.decay), it.astype(jnp.float32))
+        sigma = sigma0 * decay
+        key, k_noise = jax.random.split(state.key)
+
+        eps_new = sample_noise(k_noise, ops.L_sample, sigma, cfg.num_rollouts)
+        cand = jnp.concatenate(
+            [state.theta[None] + eps_new, state.reuse_theta], axis=0)
+        cand = jax.vmap(project)(cand)                 # per-rollout joint limits
+        eps = cand - state.theta[None]                 # re-centered noise (A.3)
+
+        S_all, _, cand_total, _ = jax.vmap(evaluate)(cand)   # [Ktot, N+2]
+        delta = pi2.update(eps, S_all[:, 1:-1], ops.M, cfg.pi2_h)
+        theta_new = project(state.theta + delta)
+
+        # rollout reuse: keep the lowest-total-cost candidates (A.3)
+        _, keep = jax.lax.top_k(-cand_total, cfg.noise.num_rollouts_reused)
+        return finish(state, theta_new,
+                      dict(key=key, reuse_theta=cand[keep]))
+
+    def chomp_step(state: SolverState) -> SolverState:
+        full = full_trajectory(state.theta, q0, qN)
+        delta = chomp_delta(ops, robot, world, state.theta, q0, qN, full,
+                            cfg.dt, cfg.collision_clearance,
+                            cfg.weights.obstacle, cfg.weights.smoothness,
+                            cfg.learning_rate)
+        theta_new = project(state.theta + delta)
+        return finish(state, theta_new, {})
+
+    return stomp_step if cfg.mode == "stomp" else chomp_step
+
+
+def init_state(robot: RobotSpec, cfg: PlannerConfig, q0, qN,
+               key: jax.Array) -> SolverState:
+    N = cfg.num_timesteps
+    d = robot.num_joints
+    theta0 = min_jerk_init(q0, qN, N)
+    zeros_m = jnp.zeros((cfg.max_iterations,), jnp.float32)
+    return SolverState(
+        theta=theta0,
+        key=key,
+        iteration=jnp.int32(0),
+        best_theta=theta0,
+        best_cost=jnp.float32(jnp.inf),
+        cf_count=jnp.int32(0),
+        done=jnp.bool_(False),
+        reuse_theta=jnp.broadcast_to(
+            theta0, (cfg.noise.num_rollouts_reused, N, d)),
+        m_total=zeros_m, m_obstacle=zeros_m, m_smooth=zeros_m,
+        m_constraint=zeros_m, m_cf=jnp.zeros((cfg.max_iterations,), bool),
+    )
+
+
+def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
+          ops: DeviceOps, q0: jnp.ndarray, qN: jnp.ndarray,
+          key: jax.Array) -> Solution:
+    """Run one full planning query to termination (A.12). Pure; jit/vmap-able."""
+    step = make_step(robot, world, constraints, cfg, ops, q0, qN)
+    state = init_state(robot, cfg, q0, qN, key)
+    state = jax.lax.while_loop(lambda s: ~s.done, step, state)
+
+    # success = the best trajectory is collision-free now
+    _, margin, best_total, _ = _evaluate(robot, world, constraints, cfg, ops,
+                                         q0, qN, state.best_theta)
+    dt = cfg.dt
+    times = jnp.arange(cfg.num_timesteps + 2, dtype=jnp.float32) * dt
+    metrics = IterationMetrics(
+        total_cost=state.m_total, obstacle_cost=state.m_obstacle,
+        smoothness_cost=state.m_smooth, constraint_cost=state.m_constraint,
+        collision_free=state.m_cf,
+    ) if cfg.record_metrics else None
+    return Solution(
+        trajectory=full_trajectory(state.best_theta, q0, qN),
+        times=times,
+        success=margin > cfg.collision_threshold,
+        cost=best_total,
+        iterations=state.iteration,
+        metrics=metrics,
+    )

