@@ -1,0 +1,131 @@
+"""BASELINE config 1 integration: 2-DOF planar arm, 20 waypoints, one sphere
+obstacle, 10 rollouts/iter — solved end-to-end and checked against the CPU
+oracle under a shared noise sequence (SURVEY §5.1/§5.4).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from tpustomp.api.config import PlannerConfig, NoiseConfig, CostWeights
+from tpustomp.api.plan import plan
+from tpustomp.api.problem import ProblemSpec
+from tpustomp.dynamics.device import device_ops
+from tpustomp.engine import solver
+from tpustomp.robot import model
+from tpustomp.world.sdf import AnalyticWorld
+
+# Scene validated to be well-posed (init collides mid-trajectory at margin
+# -0.13, one-sided escape reachable by the noise scale; see git history).
+SPHERE_C = np.array([1.88, 0.42, 0.0])
+SPHERE_R = 0.27
+Q0 = np.array([-0.56, 1.65], np.float32)
+QN = np.array([1.16, -1.46], np.float32)
+
+
+def _world():
+    return AnalyticWorld.make(spheres=[(tuple(SPHERE_C), SPHERE_R)])
+
+
+def _cfg(**kw):
+    base = dict(
+        num_timesteps=20, duration=2.1, num_rollouts=10,
+        noise=NoiseConfig(stddev=0.25, decay=0.995, num_rollouts_reused=0),
+        weights=CostWeights(obstacle=1.0, smoothness=0.1, constraint=1.0),
+        collision_clearance=0.1, max_iterations=150,
+        max_iterations_after_collision_free=5,
+    )
+    base.update(kw)
+    return PlannerConfig(**base)
+
+
+def test_stomp_matches_oracle_with_shared_noise():
+    """Exact-parity: same z-sequence through both implementations (15 iters)."""
+    n_iters = 15
+    cfg = _cfg(max_iterations=n_iters,
+               max_iterations_after_collision_free=10**6)
+    robot = model.planar_2r(body_radius=0.05)
+    world = _world()
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+    key = jax.random.PRNGKey(42)
+
+    sol = solver.solve(robot, world, None, cfg, ops,
+                       jnp.asarray(Q0), jnp.asarray(QN), key)
+    # final trajectory = best over iterations; for parity compare via the
+    # metrics cost series AND re-derive final theta by replaying the key chain
+    z_seq = np.zeros((n_iters, cfg.num_rollouts, cfg.num_timesteps, 2), np.float32)
+    k = key
+    for i in range(n_iters):
+        k, kn = jax.random.split(k)
+        z_seq[i] = np.asarray(jax.random.normal(
+            kn, (cfg.num_rollouts, cfg.num_timesteps, 2), jnp.float32))
+
+    theta_oracle, hist = oracle.stomp_solve_config1(
+        Q0.astype(np.float64), QN.astype(np.float64), cfg.num_timesteps,
+        cfg.duration, z_seq.astype(np.float64), SPHERE_C, SPHERE_R,
+        noise_std=0.25, h=10.0, clearance=0.1, body_r=0.05, decay=0.995)
+
+    got_hist = np.asarray(sol.metrics.total_cost)[:n_iters]
+    np.testing.assert_allclose(got_hist, hist, rtol=2e-3, atol=2e-3)
+
+
+def test_stomp_converges_collision_free():
+    cfg = _cfg()
+    robot = model.planar_2r(body_radius=0.05)
+    sol = plan(robot, _world(), ProblemSpec(q0=Q0, qN=QN), cfg,
+               key=jax.random.PRNGKey(0))
+    assert bool(sol.success), "config-1 STOMP did not reach collision-free"
+    traj = np.asarray(sol.trajectory)
+    np.testing.assert_allclose(traj[0], Q0, atol=1e-6)
+    np.testing.assert_allclose(traj[-1], QN, atol=1e-6)
+    # verify against the oracle's geometry: every body clear of the obstacle
+    for t in range(traj.shape[0]):
+        p1, p2 = oracle.fk_planar2r(traj[t])
+        for p in (p1, p2):
+            dist = np.linalg.norm(np.r_[p, 0.0] - SPHERE_C) - SPHERE_R - 0.05
+            assert dist > 0, f"waypoint {t} in collision (margin {dist})"
+
+
+def test_stomp_with_rollout_reuse_converges():
+    cfg = _cfg(noise=NoiseConfig(stddev=0.25, decay=0.995, num_rollouts_reused=3))
+    robot = model.planar_2r(body_radius=0.05)
+    sol = plan(robot, _world(), ProblemSpec(q0=Q0, qN=QN), cfg,
+               key=jax.random.PRNGKey(1))
+    assert bool(sol.success)
+
+
+def test_collision_free_problem_terminates_quickly():
+    """No obstacle in the way ⇒ min-jerk init is already collision-free ⇒
+    terminates after max_iterations_after_collision_free iterations (§5.3)."""
+    cfg = _cfg()
+    robot = model.planar_2r(body_radius=0.05)
+    far_world = AnalyticWorld.make(spheres=[((10.0, 10.0, 0.0), 0.3)])
+    sol = plan(robot, far_world, ProblemSpec(q0=Q0, qN=QN), cfg,
+               key=jax.random.PRNGKey(2))
+    assert bool(sol.success)
+    assert int(sol.iterations) <= cfg.max_iterations_after_collision_free + 1
+
+
+def test_chomp_mode_converges():
+    """BASELINE config-3 style: deterministic CHOMP on the same world."""
+    cfg = _cfg(mode="chomp", learning_rate=0.8, max_iterations=300,
+               weights=CostWeights(obstacle=5.0, smoothness=0.1))
+    robot = model.planar_2r(body_radius=0.05)
+    sol = plan(robot, _world(), ProblemSpec(q0=Q0, qN=QN), cfg,
+               key=jax.random.PRNGKey(3))
+    assert bool(sol.success), "CHOMP did not reach collision-free"
+
+
+def test_obstacle_cost_decreases_and_collision_resolves():
+    """Total cost may legitimately rise (the detour buys collision freedom at
+    smoothness expense) — the obstacle cost must fall and a collision-free
+    iterate must appear."""
+    cfg = _cfg(max_iterations=40, max_iterations_after_collision_free=10**6)
+    robot = model.planar_2r(body_radius=0.05)
+    sol = plan(robot, _world(), ProblemSpec(q0=Q0, qN=QN), cfg,
+               key=jax.random.PRNGKey(4))
+    obst = np.asarray(sol.metrics.obstacle_cost)
+    assert obst[-5:].mean() < obst[:5].mean()
+    assert np.asarray(sol.metrics.collision_free).any()

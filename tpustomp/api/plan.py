@@ -30,8 +30,7 @@ from tpustomp.robot.model import RobotSpec
 
 @functools.lru_cache(maxsize=32)
 def _jitted_solve(cfg: PlannerConfig, has_constraints: bool):
-    def run(robot, world, constraints, q0, qN, key):
-        ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+    def run(robot, world, constraints, ops, q0, qN, key):
         return solver.solve(robot, world, constraints, cfg, ops, q0, qN, key)
 
     return jax.jit(run)
@@ -39,8 +38,7 @@ def _jitted_solve(cfg: PlannerConfig, has_constraints: bool):
 
 @functools.lru_cache(maxsize=32)
 def _jitted_solve_batch(cfg: PlannerConfig, has_constraints: bool):
-    def run(robot, world, constraints, q0, qN, keys):
-        ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+    def run(robot, world, constraints, ops, q0, qN, keys):
         return jax.vmap(
             lambda a, b, k: solver.solve(robot, world, constraints, cfg, ops,
                                          a, b, k)
@@ -57,8 +55,9 @@ def plan(robot: RobotSpec, world, problem: ProblemSpec,
         key = jax.random.PRNGKey(0)
     q0 = jnp.asarray(problem.q0, jnp.float32)
     qN = jnp.asarray(problem.qN, jnp.float32)
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
     return _jitted_solve(cfg, constraints is not None)(
-        robot, world, constraints, q0, qN, key)
+        robot, world, constraints, ops, q0, qN, key)
 
 
 def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,
@@ -74,5 +73,6 @@ def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,
     qN = jnp.asarray(problem.qN, jnp.float32)
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), q0.shape[0])
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
     return _jitted_solve_batch(cfg, constraints is not None)(
-        robot, world, constraints, q0, qN, keys)
+        robot, world, constraints, ops, q0, qN, keys)

@@ -55,9 +55,15 @@ def chomp_delta(ops, robot: RobotSpec, world, theta: jnp.ndarray,
                 dt: float, clearance: float, w_obstacle: float,
                 w_smoothness: float, learning_rate: float,
                 use_curvature: bool = True) -> jnp.ndarray:
-    """One CHOMP update direction: −η·M·(w_o ∇q_obs + w_s (Rθ + R_bias q))."""
+    """One CHOMP update direction: −η·R⁻¹·(w_o ∇q_obs + w_s (Rθ + R_bias q)).
+
+    The R⁻¹ preconditioner makes the smoothness part an exact Newton step
+    (R⁻¹(Rθ + R_bias q) = θ − θ*, the pull toward the smoothness minimizer),
+    which is what keeps the covariant update stable — STOMP's column-scaled M
+    would destroy that exactness and diverge (A.11).
+    """
     g_obs = obstacle_functional_gradient(robot, world, full_traj, dt,
                                          clearance, use_curvature)
     g_smooth = smoothness_gradient(ops, theta, q0, qN)
     grad = w_obstacle * g_obs + w_smoothness * g_smooth
-    return -learning_rate * (ops.M @ grad)
+    return -learning_rate * (ops.Rinv @ grad)

@@ -45,8 +45,9 @@ class SolverState:
     theta: jnp.ndarray        # [N, d] current free waypoints
     key: jax.Array
     iteration: jnp.ndarray    # int32
-    best_theta: jnp.ndarray   # [N, d]
-    best_cost: jnp.ndarray    # scalar
+    best_theta: jnp.ndarray   # [N, d] best *collision-free* trajectory so far
+    best_cost: jnp.ndarray    # its total cost (inf while none found)
+    found_cf: jnp.ndarray     # bool — any collision-free iterate seen
     cf_count: jnp.ndarray     # int32 — consecutive collision-free iterations
     done: jnp.ndarray         # bool
     reuse_theta: jnp.ndarray  # [K_reuse, N, d] best rollout trajectories
@@ -93,7 +94,10 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         S_new, margin, total, parts = evaluate(theta_new)
         cf = margin > cfg.collision_threshold
         cf_count = jnp.where(cf, state.cf_count + 1, jnp.int32(0))
-        improved = total < state.best_cost
+        # Track the best *collision-free* trajectory (the reference updates its
+        # best only when the iterate is collision-free and returns best-so-far
+        # with success=false otherwise, SURVEY A.12).
+        improved = cf & (total < state.best_cost)
         it = state.iteration
         new_it = it + 1
         done = ((new_it >= cfg.max_iterations)
@@ -103,6 +107,7 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
             iteration=new_it,
             best_theta=jnp.where(improved, theta_new, state.best_theta),
             best_cost=jnp.where(improved, total, state.best_cost),
+            found_cf=state.found_cf | cf,
             cf_count=cf_count,
             done=done,
             **_record(state, it, total, parts, cf),
@@ -154,6 +159,7 @@ def init_state(robot: RobotSpec, cfg: PlannerConfig, q0, qN,
         iteration=jnp.int32(0),
         best_theta=theta0,
         best_cost=jnp.float32(jnp.inf),
+        found_cf=jnp.bool_(False),
         cf_count=jnp.int32(0),
         done=jnp.bool_(False),
         reuse_theta=jnp.broadcast_to(
@@ -171,9 +177,11 @@ def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     state = init_state(robot, cfg, q0, qN, key)
     state = jax.lax.while_loop(lambda s: ~s.done, step, state)
 
-    # success = the best trajectory is collision-free now
-    _, margin, best_total, _ = _evaluate(robot, world, constraints, cfg, ops,
-                                         q0, qN, state.best_theta)
+    # Return the best collision-free trajectory if any was found; otherwise
+    # the final iterate with success=False (reference failsafe, SURVEY §6).
+    ret_theta = jnp.where(state.found_cf, state.best_theta, state.theta)
+    _, margin, ret_total, _ = _evaluate(robot, world, constraints, cfg, ops,
+                                        q0, qN, ret_theta)
     dt = cfg.dt
     times = jnp.arange(cfg.num_timesteps + 2, dtype=jnp.float32) * dt
     metrics = IterationMetrics(
@@ -182,10 +190,10 @@ def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         collision_free=state.m_cf,
     ) if cfg.record_metrics else None
     return Solution(
-        trajectory=full_trajectory(state.best_theta, q0, qN),
+        trajectory=full_trajectory(ret_theta, q0, qN),
         times=times,
-        success=margin > cfg.collision_threshold,
-        cost=best_total,
+        success=state.found_cf & (margin > cfg.collision_threshold),
+        cost=ret_total,
         iterations=state.iteration,
         metrics=metrics,
     )
