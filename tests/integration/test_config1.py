@@ -41,10 +41,11 @@ def _cfg(**kw):
     return PlannerConfig(**base)
 
 
-def test_stomp_matches_oracle_with_shared_noise():
+@pytest.mark.parametrize("cost_mode", ["local", "cumulative"])
+def test_stomp_matches_oracle_with_shared_noise(cost_mode):
     """Exact-parity: same z-sequence through both implementations (15 iters)."""
     n_iters = 15
-    cfg = _cfg(max_iterations=n_iters,
+    cfg = _cfg(max_iterations=n_iters, pi2_cost_mode=cost_mode,
                max_iterations_after_collision_free=10**6)
     robot = model.planar_2r(body_radius=0.05)
     world = _world()
@@ -65,7 +66,8 @@ def test_stomp_matches_oracle_with_shared_noise():
     theta_oracle, hist = oracle.stomp_solve_config1(
         Q0.astype(np.float64), QN.astype(np.float64), cfg.num_timesteps,
         cfg.duration, z_seq.astype(np.float64), SPHERE_C, SPHERE_R,
-        noise_std=0.25, h=10.0, clearance=0.1, body_r=0.05, decay=0.995)
+        noise_std=0.25, h=10.0, clearance=0.1, body_r=0.05, decay=0.995,
+        cost_mode=cost_mode)
 
     got_hist = np.asarray(sol.metrics.total_cost)[:n_iters]
     np.testing.assert_allclose(got_hist, hist, rtol=2e-3, atol=2e-3)

@@ -1,0 +1,100 @@
+"""BASELINE config 2/3 integration: 7-DOF PR2-like arm, 100 waypoints,
+tabletop world (table + bottle-sized box), solved with STOMP and CHOMP on
+both the analytic world and its voxelized signed-EDT grid (SURVEY §5.4).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from tpustomp.api.config import PlannerConfig, NoiseConfig, CostWeights
+from tpustomp.api.plan import plan
+from tpustomp.api.problem import ProblemSpec
+from tpustomp.robot import model
+from tpustomp.robot.fk import body_positions_traj
+from tpustomp.world import edt
+from tpustomp.world.sdf import AnalyticWorld, sdf
+
+TABLE = ((0.6, 0.0, 0.2), (0.45, 0.6, 0.25))
+BOTTLE = ((0.68, -0.05, 0.62), (0.06, 0.06, 0.18))
+Q0 = np.array([-0.6, 0.5, 0.0, -0.8, 0.0, -0.5, 0.0], np.float32)
+QN = np.array([0.4, 0.5, 0.0, -0.8, 0.0, -0.5, 0.0], np.float32)
+
+GRID_ORIGIN = (-0.2, -1.0, 0.0)
+GRID_SHAPE = (64, 80, 48)
+GRID_RES = 0.025
+
+
+def _analytic():
+    return AnalyticWorld.make(boxes=[TABLE, BOTTLE])
+
+
+def _grid():
+    occ = edt.occupancy_from_analytic(_analytic(), GRID_ORIGIN, GRID_SHAPE,
+                                      GRID_RES)
+    return edt.signed_edt(occ, GRID_RES, GRID_ORIGIN)
+
+
+def _cfg(**kw):
+    base = dict(
+        num_timesteps=100, duration=5.0, num_rollouts=10,
+        noise=NoiseConfig(stddev=0.08, decay=0.995, num_rollouts_reused=5),
+        weights=CostWeights(obstacle=1.0, smoothness=0.1),
+        collision_clearance=0.05, max_iterations=200,
+        max_iterations_after_collision_free=5,
+    )
+    base.update(kw)
+    return PlannerConfig(**base)
+
+
+def _check_solution(sol, world, robot, margin_floor=0.0):
+    assert bool(sol.success)
+    traj = np.asarray(sol.trajectory)
+    np.testing.assert_allclose(traj[0], Q0, atol=1e-6)
+    np.testing.assert_allclose(traj[-1], QN, atol=1e-6)
+    pos = body_positions_traj(robot, sol.trajectory)
+    dist = np.asarray(sdf(world, pos)) - np.asarray(robot.body_radius)[None, :]
+    assert dist.min() > margin_floor, f"solution margin {dist.min()}"
+
+
+def test_stomp_config2_analytic_world():
+    robot = model.arm_7dof()
+    world = _analytic()
+    sol = plan(robot, world, ProblemSpec(q0=Q0, qN=QN), _cfg(),
+               key=jax.random.PRNGKey(0))
+    _check_solution(sol, world, robot)
+
+
+def test_stomp_config2_grid_world():
+    robot = model.arm_7dof()
+    world = _grid()
+    sol = plan(robot, world, ProblemSpec(q0=Q0, qN=QN), _cfg(),
+               key=jax.random.PRNGKey(0))
+    # grid SDF has ~voxel-scale error; verify against the exact analytic SDF
+    # with a small tolerance below zero
+    _check_solution(sol, _analytic(), robot, margin_floor=-GRID_RES)
+
+
+def test_chomp_config3_same_world():
+    robot = model.arm_7dof()
+    world = _analytic()
+    # CHOMP needs the obstacle gradient to dominate the update direction to
+    # escape this scene's local minimum (the clamp normalizes magnitude).
+    cfg = _cfg(mode="chomp", learning_rate=2.0, max_iterations=300,
+               weights=CostWeights(obstacle=1000.0, smoothness=0.1))
+    sol = plan(robot, world, ProblemSpec(q0=Q0, qN=QN), cfg,
+               key=jax.random.PRNGKey(0))
+    _check_solution(sol, world, robot)
+
+
+def test_init_actually_collides():
+    """Guard: the scene is non-trivial — min-jerk init is in collision."""
+    from tpustomp.engine.trajectory import full_trajectory, min_jerk_init
+    import jax.numpy as jnp
+
+    robot = model.arm_7dof()
+    th = min_jerk_init(jnp.asarray(Q0), jnp.asarray(QN), 100)
+    full = full_trajectory(th, jnp.asarray(Q0), jnp.asarray(QN))
+    pos = body_positions_traj(robot, full)
+    dist = np.asarray(sdf(_analytic(), pos)) - np.asarray(robot.body_radius)[None, :]
+    assert dist.min() < -0.05

@@ -276,11 +276,12 @@ def obstacle_cost_planar(theta, q0, qN, dt, sphere_c, sphere_r, body_r,
 def stomp_solve_config1(q0, qN, N, T, z_seq, sphere_c, sphere_r,
                         noise_std=0.1, h=10.0, clearance=0.1, body_r=0.05,
                         decay=0.99, iters=30, weights=(0.0, 1.0, 0.0),
-                        link_lengths=(1.0, 1.0)):
+                        link_lengths=(1.0, 1.0), cost_mode="local"):
     """Full STOMP solve of BASELINE config 1 given an injected noise sequence.
 
     z_seq: [iters, K, N, d] standard-normal draws (shared with the JAX engine
-    for exact-parity testing). Returns (theta, cost_history).
+    for exact-parity testing). cost_mode: "local" per-timestep cost or
+    "cumulative" cost-to-go (reversed cumsum). Returns (theta, cost_history).
     """
     d = 2
     dt = T / (N + 1)
@@ -304,6 +305,8 @@ def stomp_solve_config1(q0, qN, N, T, z_seq, sphere_c, sphere_r,
             for j in range(d):
                 eps[k, :, j] = sigma * (L @ z_seq[it, k, :, j])
             S[k] = state_cost(theta + eps[k])
+        if cost_mode == "cumulative":
+            S = np.cumsum(S[:, ::-1], axis=1)[:, ::-1]
         # interior timesteps drive the update (endpoints are fixed)
         delta = pi2_update(eps, S[:, 1:-1], M, h)
         theta = theta + delta

@@ -96,10 +96,25 @@ class PlannerConfig:
     # PI^2 inverse-temperature h in P_k(t) = softmax_k(-h * S~_k(t)).
     # Reference value h=10 (SURVEY A.9 [M]).
     pi2_h: float = 10.0
+    # Per-timestep cost fed to the softmax: "local" q(t) (SURVEY A.9 [M])
+    # or "cumulative" cost-to-go sum_{t'>=t} q(t') (PI^2 proper). Cumulative
+    # propagates collision signal to the whole prefix and converges far more
+    # reliably on long horizons; both are supported.
+    pi2_cost_mode: str = "cumulative"
+    # Add each rollout's per-timestep control cost (weighted by
+    # weights.smoothness) into S before the softmax, as the PI^2 lineage
+    # formulates it. Off by default: with the quadratic acceleration cost the
+    # control term is orders of magnitude larger than the obstacle term and
+    # drowns the collision signal (measured: kills convergence on config 2).
+    pi2_include_control_cost: bool = False
 
     # --- CHOMP mode -----------------------------------------------------
     mode: str = "stomp"             # "stomp" | "chomp"
     learning_rate: float = 0.1      # CHOMP eta (stomp mode ignores it)
+    # Per-iteration cap on max |δθ| (radians) in CHOMP mode; the update is
+    # rescaled, not clipped per-element, to preserve its direction.
+    # (Reference lineage: ChompParameters joint_update_limit.)
+    chomp_joint_update_limit: float = 0.1
     use_pseudo_inverse: bool = False
     pseudo_inverse_ridge_factor: float = 1e-4
     use_hamiltonian_monte_carlo: bool = False  # reference flag; off (SURVEY A.11 [L])

@@ -12,14 +12,24 @@ import jax.numpy as jnp
 from tpustomp.dynamics.device import DeviceOps
 
 
-def smoothness_cost(ops: DeviceOps, theta: jnp.ndarray,
-                    q0: jnp.ndarray, qN: jnp.ndarray) -> jnp.ndarray:
-    """theta [N, d]; q0, qN [d] -> scalar cost."""
+def smoothness_cost_per_timestep(ops: DeviceOps, theta: jnp.ndarray,
+                                 q0: jnp.ndarray, qN: jnp.ndarray) -> jnp.ndarray:
+    """Control cost resolved per true waypoint: [N+2] row.
+
+    Row t = 1/2 Σ_d w_d Σ_j deriv_d(t, j)²; sums to the scalar cost. The PI²
+    probability weighting optionally consumes this row (pi2_include_control_cost).
+    """
     q = jnp.stack([q0, qN], axis=0)                     # [2, d]
     deriv = (jnp.einsum("arn,nd->ard", ops.A_stack, theta)
              + jnp.einsum("arq,qd->ard", ops.B_stack, q))  # [D, N+2, d]
-    per_d = 0.5 * jnp.sum(deriv * deriv, axis=(1, 2))      # [D]
-    return jnp.dot(ops.w, per_d)
+    per_dt = 0.5 * jnp.sum(deriv * deriv, axis=2)          # [D, N+2]
+    return jnp.einsum("a,ar->r", ops.w, per_dt)            # [N+2]
+
+
+def smoothness_cost(ops: DeviceOps, theta: jnp.ndarray,
+                    q0: jnp.ndarray, qN: jnp.ndarray) -> jnp.ndarray:
+    """theta [N, d]; q0, qN [d] -> scalar cost."""
+    return jnp.sum(smoothness_cost_per_timestep(ops, theta, q0, qN))
 
 
 def smoothness_gradient(ops: DeviceOps, theta: jnp.ndarray,

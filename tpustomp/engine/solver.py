@@ -30,7 +30,7 @@ from tpustomp.api.config import PlannerConfig
 from tpustomp.api.problem import IterationMetrics, Solution
 from tpustomp.costs.constraints import constraint_cost
 from tpustomp.costs.obstacle import obstacle_cost
-from tpustomp.costs.smoothness import smoothness_cost
+from tpustomp.costs.smoothness import smoothness_cost_per_timestep
 from tpustomp.dynamics.device import DeviceOps
 from tpustomp.engine import pi2
 from tpustomp.engine.chomp import chomp_delta
@@ -60,15 +60,16 @@ class SolverState:
 
 def _evaluate(robot, world, constraints, cfg: PlannerConfig, ops: DeviceOps,
               q0, qN, theta):
-    """State-cost row S [N+2], margin, and cost breakdown for one trajectory."""
+    """State-cost row S [N+2], control row, margin, and breakdown."""
     full = full_trajectory(theta, q0, qN)
     q_obs, margin = obstacle_cost(robot, world, full, cfg.dt,
                                   cfg.collision_clearance)
     q_con = constraint_cost(robot, constraints, full)
     S = cfg.weights.obstacle * q_obs + cfg.weights.constraint * q_con
-    ctrl = smoothness_cost(ops, theta, q0, qN)
+    ctrl_t = smoothness_cost_per_timestep(ops, theta, q0, qN)
+    ctrl = jnp.sum(ctrl_t)
     total = jnp.sum(S) + cfg.weights.smoothness * ctrl
-    return S, margin, total, (jnp.sum(q_obs), ctrl, jnp.sum(q_con))
+    return S, ctrl_t, margin, total, (jnp.sum(q_obs), ctrl, jnp.sum(q_con))
 
 
 def _record(state: SolverState, it, total, parts, cf) -> dict:
@@ -91,7 +92,7 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     evaluate = lambda th: _evaluate(robot, world, constraints, cfg, ops, q0, qN, th)
 
     def finish(state, theta_new, extra_updates):
-        S_new, margin, total, parts = evaluate(theta_new)
+        S_new, _, margin, total, parts = evaluate(theta_new)
         cf = margin > cfg.collision_threshold
         cf_count = jnp.where(cf, state.cf_count + 1, jnp.int32(0))
         # Track the best *collision-free* trajectory (the reference updates its
@@ -126,8 +127,14 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         cand = jax.vmap(project)(cand)                 # per-rollout joint limits
         eps = cand - state.theta[None]                 # re-centered noise (A.3)
 
-        S_all, _, cand_total, _ = jax.vmap(evaluate)(cand)   # [Ktot, N+2]
-        delta = pi2.update(eps, S_all[:, 1:-1], ops.M, cfg.pi2_h)
+        S_all, ctrl_all, _, cand_total, _ = jax.vmap(evaluate)(cand)  # [Ktot, N+2]
+        S_used = S_all
+        if cfg.pi2_include_control_cost:
+            S_used = S_used + cfg.weights.smoothness * ctrl_all
+        if cfg.pi2_cost_mode == "cumulative":
+            # cost-to-go: S(t) = sum_{t'>=t} q(t') (PI^2 proper; see config)
+            S_used = jnp.cumsum(S_used[:, ::-1], axis=1)[:, ::-1]
+        delta = pi2.update(eps, S_used[:, 1:-1], ops.M, cfg.pi2_h)
         theta_new = project(state.theta + delta)
 
         # rollout reuse: keep the lowest-total-cost candidates (A.3)
@@ -141,7 +148,10 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                             cfg.dt, cfg.collision_clearance,
                             cfg.weights.obstacle, cfg.weights.smoothness,
                             cfg.learning_rate)
-        theta_new = project(state.theta + delta)
+        # direction-preserving update cap (reference joint_update_limit)
+        max_d = jnp.max(jnp.abs(delta))
+        scale = jnp.minimum(1.0, cfg.chomp_joint_update_limit / (max_d + 1e-12))
+        theta_new = project(state.theta + scale * delta)
         return finish(state, theta_new, {})
 
     return stomp_step if cfg.mode == "stomp" else chomp_step
@@ -180,8 +190,8 @@ def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     # Return the best collision-free trajectory if any was found; otherwise
     # the final iterate with success=False (reference failsafe, SURVEY §6).
     ret_theta = jnp.where(state.found_cf, state.best_theta, state.theta)
-    _, margin, ret_total, _ = _evaluate(robot, world, constraints, cfg, ops,
-                                        q0, qN, ret_theta)
+    _, _, margin, ret_total, _ = _evaluate(robot, world, constraints, cfg, ops,
+                                           q0, qN, ret_theta)
     dt = cfg.dt
     times = jnp.arange(cfg.num_timesteps + 2, dtype=jnp.float32) * dt
     metrics = IterationMetrics(
