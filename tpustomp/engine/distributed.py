@@ -1,0 +1,127 @@
+"""Scenario-parallel execution over a device mesh (+ multi-host).
+
+Reference equivalent: none — the reference is a single-threaded ROS node whose
+only "communication layer" is TCPROS topics/services (SURVEY §3.3/§3.4). This
+module is the new framework's first-class scale-out story:
+
+  - Data parallelism over *scenarios* (independent planning problems) is the
+    primary axis: a scenario never shards across chips, so the PI² softmax
+    and update stay chip-local and cross-chip traffic is only problem
+    dispatch / result gather / metric reductions. That asymmetry is why ≥80%
+    multi-host scaling efficiency is the design target (BASELINE.json).
+  - Within a chip, rollouts/waypoints/spheres are vmapped array axes.
+  - Mesh axis name: "scenario". Sharding via NamedSharding; XLA inserts the
+    (few) collectives. Multi-host: `init_multihost()` then the same code —
+    the mesh spans all processes' devices, inputs are built from
+    process-local shards with `make_array_from_process_local_data`.
+
+Tests exercise this on 8 virtual CPU devices (tests/distributed/), asserting
+bitwise-identical per-scenario results vs single-device runs (SURVEY §5.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpustomp.api.config import PlannerConfig
+from tpustomp.api.problem import ProblemSpec, Solution
+from tpustomp.dynamics.device import device_ops
+from tpustomp.engine import solver
+
+SCENARIO_AXIS = "scenario"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over the given (default: all) devices, axis "scenario"."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (SCENARIO_AXIS,))
+
+
+def init_multihost(coordinator_address=None, num_processes=None,
+                   process_id=None) -> None:
+    """Initialize the JAX multi-host runtime (DCN across hosts, ICI within).
+
+    Thin wrapper over jax.distributed.initialize so callers don't import jax
+    internals; no-op if already initialized.
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_solve(cfg: PlannerConfig, mesh: Mesh, has_constraints: bool):
+    sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
+    replicated = NamedSharding(mesh, P())
+
+    def run(robot, world, constraints, ops, q0, qN, keys):
+        with jax.default_matmul_precision("float32"):
+            return jax.vmap(
+                lambda a, b, k: solver.solve(robot, world, constraints, cfg,
+                                             ops, a, b, k)
+            )(q0, qN, keys)
+
+    return jax.jit(
+        run,
+        in_shardings=(replicated, replicated,
+                      replicated if has_constraints else None,
+                      replicated, sharding, sharding, sharding),
+        out_shardings=sharding,
+    )
+
+
+def _shard_batch(x: np.ndarray, mesh: Mesh):
+    """Build a global device array from (process-local) batch data."""
+    sharding = NamedSharding(mesh, P(SCENARIO_AXIS,
+                                     *([None] * (x.ndim - 1))))
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(x), sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
+def plan_sharded(robot, world, problem: ProblemSpec,
+                 cfg: PlannerConfig = PlannerConfig(),
+                 keys=None, constraints=None, mesh: Mesh | None = None
+                 ) -> Solution:
+    """Solve a batch of scenarios sharded over the mesh (BASELINE config 4/5).
+
+    problem.q0/qN: [batch, d] — batch must divide evenly by the mesh size
+    (pad with duplicates if needed; scenarios are independent so padding is
+    harmless). In multi-host mode, pass each process's local shard; the
+    global batch is their concatenation.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    q0 = np.asarray(problem.q0, np.float32)
+    qN = np.asarray(problem.qN, np.float32)
+    if keys is None:
+        keys = jax.random.split(jax.random.PRNGKey(0),
+                                q0.shape[0] * jax.process_count())
+        local = q0.shape[0]
+        keys = keys[jax.process_index() * local:(jax.process_index() + 1) * local]
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+    fn = _sharded_solve(cfg, mesh, constraints is not None)
+    return fn(robot, world, constraints, ops,
+              _shard_batch(q0, mesh), _shard_batch(qN, mesh),
+              _shard_batch(np.asarray(keys), mesh))
+
+
+def summarize(sol: Solution) -> dict:
+    """Global scalar metrics of a batched Solution (reductions happen on
+    device; under a mesh XLA lowers them to psum-style collectives)."""
+    return {
+        "num_scenarios": int(sol.success.shape[0]) * jax.process_count()
+        if jax.process_count() > 1 else int(sol.success.shape[0]),
+        "success_rate": float(jnp.mean(sol.success.astype(jnp.float32))),
+        "mean_cost": float(jnp.mean(sol.cost)),
+        "mean_iterations": float(jnp.mean(sol.iterations.astype(jnp.float32))),
+    }
