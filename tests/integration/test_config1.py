@@ -69,8 +69,12 @@ def test_stomp_matches_oracle_with_shared_noise(cost_mode):
         noise_std=0.25, h=10.0, clearance=0.1, body_r=0.05, decay=0.995,
         cost_mode=cost_mode)
 
-    got_hist = np.asarray(sol.metrics.total_cost)[:n_iters]
-    np.testing.assert_allclose(got_hist, hist, rtol=2e-3, atol=2e-3)
+    # The engine logs the cost of the *pre-update* trajectory at iteration i
+    # (single-batched-eval structure), so metrics[i+1] equals the oracle's
+    # post-update cost history[i]; metrics[0] is the min-jerk init cost.
+    got_hist = np.asarray(sol.metrics.total_cost)[1:n_iters]
+    np.testing.assert_allclose(got_hist, hist[:n_iters - 1],
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_stomp_converges_collision_free():

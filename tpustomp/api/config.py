@@ -136,6 +136,9 @@ class PlannerConfig:
     # Bounded trip count for the smoothness-preserving limit projection
     # (reference iterates until clean; SURVEY A.7 + §8.3 hard part 3).
     joint_limit_iterations: int = 10
+    # "jacobi": all violations corrected at once per pass (one matmul; fast
+    # on TPU). "sequential": reference-style worst-violation-first loop.
+    joint_limit_method: str = "jacobi"
 
     # --- viz / debug (reference animate_path / animate_endeffector) -----
     animate_path: bool = False

@@ -88,7 +88,8 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     sigma0 = jnp.asarray(cfg.noise_stddevs(robot.num_joints), jnp.float32)
     project = lambda th: project_limits(th, robot.joint_lower, robot.joint_upper,
                                         robot.joint_limited, ops.Rinv,
-                                        cfg.joint_limit_iterations)
+                                        cfg.joint_limit_iterations,
+                                        cfg.joint_limit_method)
     evaluate = lambda th: _evaluate(robot, world, constraints, cfg, ops, q0, qN, th)
 
     def finish(state, theta_new, extra_updates):
@@ -116,6 +117,13 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         )
 
     def stomp_step(state: SolverState) -> SolverState:
+        # Latency-critical structure: ONE batched FK+SDF evaluation per
+        # iteration. The current θ rides along as zero-noise candidate 0, so
+        # its cost/margin (needed for termination, best-tracking, metrics)
+        # comes out of the same batch that evaluates the noisy rollouts —
+        # instead of a second serial evaluation of the post-update θ as in
+        # the reference flow (bookkeeping for iterate i thus happens at the
+        # start of iteration i, same values, half the serial latency).
         it = state.iteration
         decay = jnp.power(jnp.float32(cfg.noise.decay), it.astype(jnp.float32))
         sigma = sigma0 * decay
@@ -123,24 +131,47 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
 
         eps_new = sample_noise(k_noise, ops.L_sample, sigma, cfg.num_rollouts)
         cand = jnp.concatenate(
-            [state.theta[None] + eps_new, state.reuse_theta], axis=0)
+            [state.theta[None], state.theta[None] + eps_new,
+             state.reuse_theta], axis=0)
         cand = jax.vmap(project)(cand)                 # per-rollout joint limits
         eps = cand - state.theta[None]                 # re-centered noise (A.3)
 
-        S_all, ctrl_all, _, cand_total, _ = jax.vmap(evaluate)(cand)  # [Ktot, N+2]
-        S_used = S_all
+        # [1+Ktot, N+2] rows; slot 0 is the current trajectory
+        S_all, ctrl_all, margins, cand_total, parts = jax.vmap(evaluate)(cand)
+
+        # --- bookkeeping on the current θ (slot 0) --------------------- A.12
+        total0 = cand_total[0]
+        cf = margins[0] > cfg.collision_threshold
+        cf_count = jnp.where(cf, state.cf_count + 1, jnp.int32(0))
+        improved = cf & (total0 < state.best_cost)
+        done = ((it + 1 >= cfg.max_iterations)
+                | (cf_count >= cfg.max_iterations_after_collision_free))
+
+        # --- PI² update from the noisy candidates (slots 1:) ------- A.9/A.10
+        S_used = S_all[1:]
         if cfg.pi2_include_control_cost:
-            S_used = S_used + cfg.weights.smoothness * ctrl_all
+            S_used = S_used + cfg.weights.smoothness * ctrl_all[1:]
         if cfg.pi2_cost_mode == "cumulative":
             # cost-to-go: S(t) = sum_{t'>=t} q(t') (PI^2 proper; see config)
             S_used = jnp.cumsum(S_used[:, ::-1], axis=1)[:, ::-1]
-        delta = pi2.update(eps, S_used[:, 1:-1], ops.M, cfg.pi2_h)
+        delta = pi2.update(eps[1:], S_used[:, 1:-1], ops.M, cfg.pi2_h)
         theta_new = project(state.theta + delta)
 
-        # rollout reuse: keep the lowest-total-cost candidates (A.3)
-        _, keep = jax.lax.top_k(-cand_total, cfg.noise.num_rollouts_reused)
-        return finish(state, theta_new,
-                      dict(key=key, reuse_theta=cand[keep]))
+        # rollout reuse: keep the lowest-total-cost noisy candidates (A.3)
+        _, keep = jax.lax.top_k(-cand_total[1:], cfg.noise.num_rollouts_reused)
+        return state.replace(
+            theta=theta_new,
+            key=key,
+            iteration=it + 1,
+            best_theta=jnp.where(improved, state.theta, state.best_theta),
+            best_cost=jnp.where(improved, total0, state.best_cost),
+            found_cf=state.found_cf | cf,
+            cf_count=cf_count,
+            done=done,
+            reuse_theta=cand[1:][keep],
+            **_record(state, it, total0,
+                      (parts[0][0], parts[1][0], parts[2][0]), cf),
+        )
 
     def chomp_step(state: SolverState) -> SolverState:
         full = full_trajectory(state.theta, q0, qN)

@@ -50,7 +50,9 @@ def fk_frames(robot: RobotSpec, q: jnp.ndarray):
     init = (robot.base_pos.astype(q.dtype), robot.base_rot.astype(q.dtype))
     xs = (robot.joint_type, robot.joint_axis.astype(q.dtype),
           robot.joint_offset.astype(q.dtype), robot.joint_rot.astype(q.dtype), q)
-    _, (pos, rot, axis_w) = jax.lax.scan(step, init, xs)
+    # fully unrolled: d <= ~10 joints, and a rolled scan would put a nested
+    # while loop inside the solver's iteration loop (launch-latency-bound)
+    _, (pos, rot, axis_w) = jax.lax.scan(step, init, xs, unroll=True)
     return pos, rot, axis_w
 
 
