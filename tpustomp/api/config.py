@@ -139,6 +139,12 @@ class PlannerConfig:
     # "jacobi": all violations corrected at once per pass (one matmul; fast
     # on TPU). "sequential": reference-style worst-violation-first loop.
     joint_limit_method: str = "jacobi"
+    # How noisy *rollouts* are kept inside limits before evaluation:
+    # "clip" (default): plain clamp — cheap, endpoint-preserving (noise is
+    # zero at endpoints by construction), slightly flattens noise at limits;
+    # "smooth": the full projection, as applied to the trajectory itself
+    # (reference behavior, ~K× the projection cost per iteration).
+    rollout_limit_projection: str = "clip"
 
     # --- viz / debug (reference animate_path / animate_endeffector) -----
     animate_path: bool = False

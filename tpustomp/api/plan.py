@@ -31,10 +31,7 @@ from tpustomp.robot.model import RobotSpec
 @functools.lru_cache(maxsize=32)
 def _jitted_solve(cfg: PlannerConfig, has_constraints: bool):
     def run(robot, world, constraints, ops, q0, qN, key):
-        # force true-fp32 matmuls on TPU (the N x N operators are tiny; the
-        # default bf16 MXU passes would cost oracle-level accuracy for ~0 win)
-        with jax.default_matmul_precision("float32"):
-            return solver.solve(robot, world, constraints, cfg, ops, q0, qN, key)
+        return solver.solve(robot, world, constraints, cfg, ops, q0, qN, key)
 
     return jax.jit(run)
 
@@ -42,11 +39,10 @@ def _jitted_solve(cfg: PlannerConfig, has_constraints: bool):
 @functools.lru_cache(maxsize=32)
 def _jitted_solve_batch(cfg: PlannerConfig, has_constraints: bool):
     def run(robot, world, constraints, ops, q0, qN, keys):
-        with jax.default_matmul_precision("float32"):
-            return jax.vmap(
-                lambda a, b, k: solver.solve(robot, world, constraints, cfg,
-                                             ops, a, b, k)
-            )(q0, qN, keys)
+        return jax.vmap(
+            lambda a, b, k: solver.solve(robot, world, constraints, cfg, ops,
+                                         a, b, k)
+        )(q0, qN, keys)
 
     return jax.jit(run)
 

@@ -7,9 +7,15 @@ replaces the reference's duplicated-endpoint padding (SURVEY §8.1).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpustomp.dynamics.device import DeviceOps
+
+# The A-operator rows are finite-difference stencils: their dot with θ
+# suffers catastrophic cancellation if inputs are rounded to bf16 (adjacent
+# waypoints differ in the 3rd decimal), so these matmuls stay true-fp32.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def smoothness_cost_per_timestep(ops: DeviceOps, theta: jnp.ndarray,
@@ -20,8 +26,8 @@ def smoothness_cost_per_timestep(ops: DeviceOps, theta: jnp.ndarray,
     probability weighting optionally consumes this row (pi2_include_control_cost).
     """
     q = jnp.stack([q0, qN], axis=0)                     # [2, d]
-    deriv = (jnp.einsum("arn,nd->ard", ops.A_stack, theta)
-             + jnp.einsum("arq,qd->ard", ops.B_stack, q))  # [D, N+2, d]
+    deriv = (jnp.einsum("arn,nd->ard", ops.A_stack, theta, precision=_HI)
+             + jnp.einsum("arq,qd->ard", ops.B_stack, q, precision=_HI))
     per_dt = 0.5 * jnp.sum(deriv * deriv, axis=2)          # [D, N+2]
     return jnp.einsum("a,ar->r", ops.w, per_dt)            # [N+2]
 
@@ -36,4 +42,5 @@ def smoothness_gradient(ops: DeviceOps, theta: jnp.ndarray,
                         q0: jnp.ndarray, qN: jnp.ndarray) -> jnp.ndarray:
     """∂cost/∂θ = R θ + R_bias [q0; qN]  (CHOMP smoothness term, A.11)."""
     q = jnp.stack([q0, qN], axis=0)
-    return ops.R @ theta + ops.R_bias @ q
+    return (jnp.einsum("nm,md->nd", ops.R, theta, precision=_HI)
+            + jnp.einsum("nq,qd->nd", ops.R_bias, q, precision=_HI))

@@ -64,11 +64,10 @@ def _sharded_solve(cfg: PlannerConfig, mesh: Mesh, has_constraints: bool):
     replicated = NamedSharding(mesh, P())
 
     def run(robot, world, constraints, ops, q0, qN, keys):
-        with jax.default_matmul_precision("float32"):
-            return jax.vmap(
-                lambda a, b, k: solver.solve(robot, world, constraints, cfg,
-                                             ops, a, b, k)
-            )(q0, qN, keys)
+        return jax.vmap(
+            lambda a, b, k: solver.solve(robot, world, constraints, cfg, ops,
+                                         a, b, k)
+        )(q0, qN, keys)
 
     return jax.jit(
         run,

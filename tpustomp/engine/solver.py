@@ -31,6 +31,7 @@ from tpustomp.api.problem import IterationMetrics, Solution
 from tpustomp.costs.constraints import constraint_cost
 from tpustomp.costs.obstacle import obstacle_cost
 from tpustomp.costs.smoothness import smoothness_cost_per_timestep
+from tpustomp.costs.torque import torque_cost
 from tpustomp.dynamics.device import DeviceOps
 from tpustomp.engine import pi2
 from tpustomp.engine.chomp import chomp_delta
@@ -66,6 +67,8 @@ def _evaluate(robot, world, constraints, cfg: PlannerConfig, ops: DeviceOps,
                                   cfg.collision_clearance)
     q_con = constraint_cost(robot, constraints, full)
     S = cfg.weights.obstacle * q_obs + cfg.weights.constraint * q_con
+    if cfg.weights.torque > 0.0:  # static branch; off by default (A.8)
+        S = S + cfg.weights.torque * torque_cost(robot, full, cfg.dt)
     ctrl_t = smoothness_cost_per_timestep(ops, theta, q0, qN)
     ctrl = jnp.sum(ctrl_t)
     total = jnp.sum(S) + cfg.weights.smoothness * ctrl
@@ -133,7 +136,14 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         cand = jnp.concatenate(
             [state.theta[None], state.theta[None] + eps_new,
              state.reuse_theta], axis=0)
-        cand = jax.vmap(project)(cand)                 # per-rollout joint limits
+        # per-rollout joint limits (see config.rollout_limit_projection)
+        if cfg.rollout_limit_projection == "smooth":
+            cand = jax.vmap(project)(cand)
+        else:
+            cand = jnp.where(robot.joint_limited[None, None, :],
+                             jnp.clip(cand, robot.joint_lower[None, None, :],
+                                      robot.joint_upper[None, None, :]),
+                             cand)
         eps = cand - state.theta[None]                 # re-centered noise (A.3)
 
         # [1+Ktot, N+2] rows; slot 0 is the current trajectory

@@ -20,13 +20,18 @@ import jax.numpy as jnp
 
 from tpustomp.robot.model import RobotSpec, PRISMATIC
 
+# 3x3 frame algebra is negligible FLOPs but position accuracy feeds the SDF
+# margins — keep it true-fp32 rather than bf16 MXU rounding.
+_HI = jax.lax.Precision.HIGHEST
+_mm = lambda a, b: jnp.matmul(a, b, precision=_HI)
+
 
 def rodrigues(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix about unit `axis` by `angle` (Rodrigues formula)."""
     x, y, z = axis[0], axis[1], axis[2]
     K = jnp.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]], dtype=axis.dtype)
     s, c = jnp.sin(angle), jnp.cos(angle)
-    return jnp.eye(3, dtype=axis.dtype) + s * K + (1.0 - c) * (K @ K)
+    return jnp.eye(3, dtype=axis.dtype) + s * K + (1.0 - c) * _mm(K, K)
 
 
 def fk_frames(robot: RobotSpec, q: jnp.ndarray):
@@ -39,11 +44,11 @@ def fk_frames(robot: RobotSpec, q: jnp.ndarray):
     def step(carry, inp):
         p, R = carry
         jtype, axis, offset, rot_fixed, qi = inp
-        p_j = p + R @ offset
-        R_mid = R @ rot_fixed
-        axis_w = R_mid @ axis
+        p_j = p + _mm(R, offset)
+        R_mid = _mm(R, rot_fixed)
+        axis_w = _mm(R_mid, axis)
         is_prism = (jtype == PRISMATIC)
-        R_new = jnp.where(is_prism, R_mid, R_mid @ rodrigues(axis, qi))
+        R_new = jnp.where(is_prism, R_mid, _mm(R_mid, rodrigues(axis, qi)))
         p_new = jnp.where(is_prism, p_j + axis_w * qi, p_j)
         return (p_new, R_new), (p_j, R_new, axis_w)
 
@@ -61,7 +66,9 @@ def body_positions(robot: RobotSpec, q: jnp.ndarray) -> jnp.ndarray:
     pos, rot, _ = fk_frames(robot, q)
     link_p = pos[robot.body_link]                     # [B, 3] joint origins
     link_R = rot[robot.body_link]                     # [B, 3, 3]
-    return link_p + jnp.einsum("bij,bj->bi", link_R, robot.body_offset.astype(q.dtype))
+    return link_p + jnp.einsum("bij,bj->bi", link_R,
+                               robot.body_offset.astype(q.dtype),
+                               precision=_HI)
 
 
 def body_positions_and_jacobians(robot: RobotSpec, q: jnp.ndarray):
@@ -73,7 +80,8 @@ def body_positions_and_jacobians(robot: RobotSpec, q: jnp.ndarray):
     pos, rot, axis_w = fk_frames(robot, q)
     link_p = pos[robot.body_link]
     link_R = rot[robot.body_link]
-    x = link_p + jnp.einsum("bij,bj->bi", link_R, robot.body_offset.astype(q.dtype))
+    x = link_p + jnp.einsum("bij,bj->bi", link_R,
+                            robot.body_offset.astype(q.dtype), precision=_HI)
 
     rel = x[:, None, :] - pos[None, :, :]             # [B, d, 3]
     rev_cols = jnp.cross(axis_w[None, :, :], rel)     # [B, d, 3]

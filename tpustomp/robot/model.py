@@ -52,6 +52,11 @@ class RobotSpec:
     body_link: jnp.ndarray      # [B] int32 — joint index the sphere rides on
     body_offset: jnp.ndarray    # [B, 3] position in that joint's frame
     body_radius: jnp.ndarray    # [B]
+    # link mass properties (for the optional torque cost, SURVEY A.8;
+    # zeros => torque cost is identically 0, matching the reference default)
+    link_mass: jnp.ndarray      # [d] kg
+    link_com: jnp.ndarray       # [d, 3] center of mass in the joint frame
+    link_inertia: jnp.ndarray   # [d, 3, 3] inertia about the com, joint frame
 
     @property
     def num_joints(self) -> int:
@@ -64,7 +69,8 @@ class RobotSpec:
 
 def _spec(joint_axis, joint_offset, joint_rot, lower, upper, limited,
           body_link, body_offset, body_radius, joint_type=None,
-          base_pos=None, base_rot=None) -> RobotSpec:
+          base_pos=None, base_rot=None, link_mass=None, link_com=None,
+          link_inertia=None) -> RobotSpec:
     d = len(joint_axis)
     f32 = jnp.float32
     return RobotSpec(
@@ -81,6 +87,13 @@ def _spec(joint_axis, joint_offset, joint_rot, lower, upper, limited,
         body_link=jnp.asarray(body_link, jnp.int32),
         body_offset=jnp.asarray(body_offset, f32),
         body_radius=jnp.asarray(body_radius, f32),
+        link_mass=jnp.asarray(
+            link_mass if link_mass is not None else np.zeros(d), f32),
+        link_com=jnp.asarray(
+            link_com if link_com is not None else np.zeros((d, 3)), f32),
+        link_inertia=jnp.asarray(
+            link_inertia if link_inertia is not None else np.zeros((d, 3, 3)),
+            f32),
     )
 
 
@@ -89,12 +102,14 @@ def _eye(d):
 
 
 def planar_2r(link_lengths=(1.0, 1.0), body_radius=0.05,
-              bodies_per_link: int = 1) -> RobotSpec:
+              bodies_per_link: int = 1, masses=(0.0, 0.0)) -> RobotSpec:
     """Planar 2R arm in the z=0 plane (BASELINE config 1).
 
     Default bodies: the joint-2 origin and the end-effector tip, matching the
     CPU oracle (tests/oracle/oracle.py::obstacle_cost_planar). With
     bodies_per_link>1 additional spheres are spread along each link.
+    `masses` places point masses at the link tips (for the torque cost /
+    dynamics tests — the textbook 2R manipulator).
     """
     l1, l2 = link_lengths
     axes = [[0, 0, 1], [0, 0, 1]]
@@ -114,7 +129,9 @@ def planar_2r(link_lengths=(1.0, 1.0), body_radius=0.05,
         body_offset.append([l2 * frac, 0.0, 0.0])
         body_radius_l.append(body_radius)
     return _spec(axes, offsets, _eye(2), lower, upper, [False, False],
-                 body_link, body_offset, body_radius_l)
+                 body_link, body_offset, body_radius_l,
+                 link_mass=list(masses),
+                 link_com=[[l1, 0, 0], [l2, 0, 0]])
 
 
 def arm_7dof(spheres_per_link: int = 4) -> RobotSpec:
@@ -162,5 +179,11 @@ def arm_7dof(spheres_per_link: int = 4) -> RobotSpec:
             body_link.append(link)
             body_offset.append([span * frac, 0.0, 0.0])
             body_radius.append(rad)
+    masses = [2.5, 2.5, 2.0, 1.6, 1.0, 0.6, 0.4]
+    coms = [[0.05, 0, 0], [0, 0, 0], [upper_arm / 2, 0, 0], [0, 0, 0],
+            [forearm / 2, 0, 0], [0, 0, 0], [hand / 2, 0, 0]]
+    inertias = [np.eye(3) * v for v in
+                (0.01, 0.01, 0.02, 0.008, 0.01, 0.003, 0.001)]
     return _spec(axes, offsets, _eye(7), lower, upper, limited,
-                 body_link, body_offset, body_radius)
+                 body_link, body_offset, body_radius,
+                 link_mass=masses, link_com=coms, link_inertia=inertias)
