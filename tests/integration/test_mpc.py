@@ -1,0 +1,68 @@
+"""BASELINE config-5 style MPC loop: moving obstacle, warm-started
+replanning; batched + sharded variant on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpustomp.api.config import PlannerConfig, NoiseConfig, CostWeights
+from tpustomp.engine import mpc
+from tpustomp.engine.distributed import make_mesh
+from tpustomp.robot import model
+
+Q0 = np.array([-0.56, 1.65], np.float32)
+QN = np.array([1.16, -1.46], np.float32)
+
+
+def _cfg():
+    return PlannerConfig(
+        num_timesteps=20, duration=2.1, num_rollouts=8,
+        noise=NoiseConfig(stddev=0.25, decay=1.0, num_rollouts_reused=2),
+        weights=CostWeights(obstacle=1.0, smoothness=0.1),
+        collision_clearance=0.1, max_iterations=8,
+        max_iterations_after_collision_free=2, record_metrics=False,
+    )
+
+
+def test_mpc_avoids_moving_obstacle():
+    robot = model.planar_2r(body_radius=0.05)
+    cfg = _cfg()
+    # obstacle sweeping across the workspace toward the arm's path
+    center = np.array([[2.4, -0.6, 0.0]], np.float32)
+    vel = np.array([[-0.15, 0.25, 0.0]], np.float32)
+    radius = jnp.asarray([0.25], jnp.float32)
+    state = mpc.init_mpc(robot, cfg, Q0, QN, center, vel,
+                         jax.random.PRNGKey(0))
+    out = mpc.run_mpc(robot, cfg, state, radius, num_ticks=15, world_dt=0.1)
+    assert int(out.steps) == 15
+    assert not bool(out.collided), "MPC executed a colliding configuration"
+    # obstacle state actually advanced
+    np.testing.assert_allclose(np.asarray(out.sphere_center[0]),
+                               center[0] + 15 * 0.1 * vel[0], atol=1e-5)
+    assert np.all(np.isfinite(np.asarray(out.theta)))
+
+
+def test_mpc_sharded_matches_vmap():
+    robot = model.planar_2r(body_radius=0.05)
+    cfg = _cfg()
+    B = 8
+    rng = np.random.default_rng(0)
+    centers = np.tile([[2.4, -0.6, 0.0]], (B, 1, 1)).astype(np.float32)
+    centers += rng.uniform(-0.1, 0.1, centers.shape).astype(np.float32)
+    vels = np.tile([[-0.15, 0.25, 0.0]], (B, 1, 1)).astype(np.float32)
+    radius = np.asarray([0.25], np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    states = jax.vmap(
+        lambda c, v, k: mpc.init_mpc(robot, cfg, Q0, QN, c, v, k)
+    )(jnp.asarray(centers), jnp.asarray(vels), keys)
+
+    out_local = jax.vmap(
+        lambda s: mpc.run_mpc(robot, cfg, s, jnp.asarray(radius), 5, 0.1)
+    )(states)
+    out_shard = mpc.run_mpc_sharded(robot, cfg, states, radius, 5, 0.1,
+                                    mesh=make_mesh())
+    np.testing.assert_allclose(np.asarray(out_local.q),
+                               np.asarray(out_shard.q), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(out_local.collided),
+                                  np.asarray(out_shard.collided))
+    assert len(out_shard.q.sharding.device_set) == 8

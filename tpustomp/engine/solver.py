@@ -199,10 +199,12 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
 
 
 def init_state(robot: RobotSpec, cfg: PlannerConfig, q0, qN,
-               key: jax.Array) -> SolverState:
+               key: jax.Array, theta0: jnp.ndarray | None = None) -> SolverState:
+    """theta0: optional warm start (MPC replanning); default min-jerk (A.1)."""
     N = cfg.num_timesteps
     d = robot.num_joints
-    theta0 = min_jerk_init(q0, qN, N)
+    if theta0 is None:
+        theta0 = min_jerk_init(q0, qN, N)
     zeros_m = jnp.zeros((cfg.max_iterations,), jnp.float32)
     return SolverState(
         theta=theta0,
@@ -222,10 +224,10 @@ def init_state(robot: RobotSpec, cfg: PlannerConfig, q0, qN,
 
 def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
           ops: DeviceOps, q0: jnp.ndarray, qN: jnp.ndarray,
-          key: jax.Array) -> Solution:
+          key: jax.Array, theta0: jnp.ndarray | None = None) -> Solution:
     """Run one full planning query to termination (A.12). Pure; jit/vmap-able."""
     step = make_step(robot, world, constraints, cfg, ops, q0, qN)
-    state = init_state(robot, cfg, q0, qN, key)
+    state = init_state(robot, cfg, q0, qN, key, theta0)
     state = jax.lax.while_loop(lambda s: ~s.done, step, state)
 
     # Return the best collision-free trajectory if any was found; otherwise

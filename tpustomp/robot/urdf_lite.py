@@ -1,0 +1,243 @@
+"""Minimal offline URDF → RobotSpec loader.
+
+Reference equivalents (SURVEY §3.2): the ``urdf`` + ``kdl_parser`` packages
+turning the robot_description XML into a KDL tree, plus
+``StompRobotModel::generateCollisionPoints`` sampling spheres along links.
+
+Scope (deliberately "lite", host-side, never in the hot path):
+  - serial chains only: walks parent→child joints from `root` to `tip`
+    (branches off the chain are ignored except their fixed-joint geometry);
+  - joint types: revolute / continuous / prismatic / fixed (fixed joints are
+    folded into the next moving joint's constant offset/rotation);
+  - per-link inertial (mass, com, inertia) for the torque cost;
+  - collision geometry → sphere bodies: spheres are exact for <sphere>,
+    sampled along the axis for <cylinder>/<capsule>, and along the longest
+    axis for <box> (radius = half the smaller cross-section), mirroring the
+    reference's sphere-per-link approximation.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tpustomp.robot.model import RobotSpec, REVOLUTE, PRISMATIC, _spec
+
+
+def _rpy_matrix(rpy):
+    r, p, y = rpy
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    return Rz @ Ry @ Rx
+
+
+def _origin(el):
+    if el is None:
+        return np.zeros(3), np.eye(3)
+    xyz = np.fromstring(el.get("xyz", "0 0 0"), sep=" ")
+    rpy = np.fromstring(el.get("rpy", "0 0 0"), sep=" ")
+    return xyz, _rpy_matrix(rpy)
+
+
+@dataclass
+class _Joint:
+    name: str
+    jtype: str
+    parent: str
+    child: str
+    xyz: np.ndarray
+    rot: np.ndarray
+    axis: np.ndarray
+    lower: float
+    upper: float
+
+
+@dataclass
+class _Link:
+    name: str
+    mass: float = 0.0
+    com: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    inertia: np.ndarray = field(default_factory=lambda: np.zeros((3, 3)))
+    # list of (center [3], radius) sphere bodies in the link frame
+    spheres: list = field(default_factory=list)
+
+
+def _parse_inertial(el):
+    if el is None:
+        return 0.0, np.zeros(3), np.zeros((3, 3))
+    mass = float(el.find("mass").get("value")) if el.find("mass") is not None else 0.0
+    com, R = _origin(el.find("origin"))
+    I = np.zeros((3, 3))
+    iel = el.find("inertia")
+    if iel is not None:
+        ixx = float(iel.get("ixx", 0)); iyy = float(iel.get("iyy", 0))
+        izz = float(iel.get("izz", 0)); ixy = float(iel.get("ixy", 0))
+        ixz = float(iel.get("ixz", 0)); iyz = float(iel.get("iyz", 0))
+        I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+        I = R @ I @ R.T  # rotate into the link frame
+    return mass, com, I
+
+
+def _spheres_from_geometry(geom_el, xyz, rot, spacing_factor=1.0):
+    """Approximate one collision geometry by spheres (link frame)."""
+    out = []
+    sph = geom_el.find("sphere")
+    if sph is not None:
+        out.append((xyz, float(sph.get("radius"))))
+        return out
+    cyl = geom_el.find("cylinder") if geom_el.find("cylinder") is not None \
+        else geom_el.find("capsule")
+    if cyl is not None:
+        r = float(cyl.get("radius"))
+        length = float(cyl.get("length"))
+        axis = rot @ np.array([0.0, 0.0, 1.0])  # URDF cylinders are z-aligned
+        n = max(1, int(np.ceil(length / (2 * r * spacing_factor))))
+        for i in range(n):
+            t = (i + 0.5) / n - 0.5
+            out.append((xyz + axis * t * length, r))
+        return out
+    box = geom_el.find("box")
+    if box is not None:
+        size = np.fromstring(box.get("size"), sep=" ")
+        longest = int(np.argmax(size))
+        r = float(np.sort(size)[:2].max() / 2.0)
+        axis = rot @ np.eye(3)[longest]
+        n = max(1, int(np.ceil(size[longest] / (2 * r * spacing_factor))))
+        for i in range(n):
+            t = (i + 0.5) / n - 0.5
+            out.append((xyz + axis * t * size[longest], r))
+        return out
+    return out  # meshes: unsupported in lite parser (reference uses spheres too)
+
+
+def load_urdf(xml_text: str, root: str | None = None, tip: str | None = None,
+              sphere_spacing: float = 1.0) -> RobotSpec:
+    """Parse a URDF string into a serial-chain RobotSpec (root → tip)."""
+    doc = ET.fromstring(xml_text)
+    links: dict[str, _Link] = {}
+    for lel in doc.findall("link"):
+        link = _Link(lel.get("name"))
+        link.mass, link.com, link.inertia = _parse_inertial(lel.find("inertial"))
+        for cel in lel.findall("collision"):
+            xyz, rot = _origin(cel.find("origin"))
+            gel = cel.find("geometry")
+            if gel is not None:
+                link.spheres += _spheres_from_geometry(gel, xyz, rot,
+                                                       sphere_spacing)
+        links[link.name] = link
+
+    joints: dict[str, _Joint] = {}
+    child_of: dict[str, _Joint] = {}
+    for jel in doc.findall("joint"):
+        xyz, rot = _origin(jel.find("origin"))
+        ax_el = jel.find("axis")
+        axis = (np.fromstring(ax_el.get("xyz"), sep=" ")
+                if ax_el is not None else np.array([1.0, 0.0, 0.0]))
+        lim = jel.find("limit")
+        lower = float(lim.get("lower", -np.pi)) if lim is not None else -np.pi
+        upper = float(lim.get("upper", np.pi)) if lim is not None else np.pi
+        j = _Joint(jel.get("name"), jel.get("type"),
+                   jel.find("parent").get("link"),
+                   jel.find("child").get("link"),
+                   xyz, rot, axis / (np.linalg.norm(axis) + 1e-12),
+                   lower, upper)
+        joints[j.name] = j
+        child_of[j.child] = j
+
+    # resolve root/tip
+    all_children = set(child_of.keys())
+    parents = {j.parent for j in joints.values()}
+    if root is None:
+        roots = [l for l in links if l not in all_children]
+        if len(roots) != 1:
+            raise ValueError(f"ambiguous root links {roots}; pass root=")
+        root = roots[0]
+    if tip is None:
+        tips = [l for l in links if l not in parents]
+        if len(tips) != 1:
+            raise ValueError(f"ambiguous tip links {tips}; pass tip=")
+        tip = tips[0]
+
+    # chain from tip back to root
+    chain: list[_Joint] = []
+    cur = tip
+    while cur != root:
+        if cur not in child_of:
+            raise ValueError(f"link {cur} unreachable from {root}")
+        j = child_of[cur]
+        chain.append(j)
+        cur = j.parent
+    chain.reverse()
+
+    # fold fixed joints into the next moving joint; accumulate per-moving-
+    # joint link data (geometry/inertia of the moving link and of any links
+    # attached to it through fixed joints)
+    axes, offsets, rots, lowers, uppers, limited, types = [], [], [], [], [], [], []
+    masses, coms, inertias = [], [], []
+    body_link, body_offset, body_radius = [], [], []
+
+    pending_xyz = np.zeros(3)
+    pending_rot = np.eye(3)
+    moving_idx = -1
+    # transform from current moving joint frame to the frame we're walking in
+    for j in chain:
+        if j.jtype == "fixed":
+            pending_xyz = pending_xyz + pending_rot @ j.xyz
+            pending_rot = pending_rot @ j.rot
+        elif j.jtype in ("revolute", "continuous", "prismatic"):
+            off = pending_xyz + pending_rot @ j.xyz
+            rot = pending_rot @ j.rot
+            axes.append(j.axis)
+            offsets.append(off)
+            rots.append(rot)
+            types.append(PRISMATIC if j.jtype == "prismatic" else REVOLUTE)
+            is_cont = (j.jtype == "continuous")
+            limited.append(not is_cont)
+            lowers.append(-np.pi if is_cont else j.lower)
+            uppers.append(np.pi if is_cont else j.upper)
+            moving_idx += 1
+            masses.append(0.0)
+            coms.append(np.zeros(3))
+            inertias.append(np.zeros((3, 3)))
+            pending_xyz = np.zeros(3)
+            pending_rot = np.eye(3)
+        else:
+            raise ValueError(f"unsupported joint type {j.jtype}")
+
+        link = links[j.child]
+        if moving_idx >= 0:
+            # child-link frame expressed in the moving joint's frame
+            T_xyz, T_rot = pending_xyz, pending_rot
+            if link.mass > 0:
+                m_old = masses[moving_idx]
+                com_new = T_xyz + T_rot @ link.com
+                m_tot = m_old + link.mass
+                coms[moving_idx] = (m_old * coms[moving_idx]
+                                    + link.mass * com_new) / m_tot
+                masses[moving_idx] = m_tot
+                inertias[moving_idx] = (inertias[moving_idx]
+                                        + T_rot @ link.inertia @ T_rot.T)
+            for center, radius in link.spheres:
+                body_link.append(moving_idx)
+                body_offset.append(T_xyz + T_rot @ center)
+                body_radius.append(radius)
+
+    if not axes:
+        raise ValueError("no moving joints on the chain")
+    if not body_link:  # planners need at least one body; use the tip origin
+        body_link, body_offset, body_radius = [len(axes) - 1], [np.zeros(3)], [0.01]
+
+    return _spec(axes, offsets, np.stack(rots), lowers, uppers, limited,
+                 body_link, body_offset, body_radius, joint_type=types,
+                 link_mass=masses, link_com=coms, link_inertia=inertias)
+
+
+def load_urdf_file(path: str, **kw) -> RobotSpec:
+    with open(path) as f:
+        return load_urdf(f.read(), **kw)
