@@ -74,7 +74,8 @@ def _ee_frame(robot: RobotSpec, q: jnp.ndarray):
 def _cost_one(robot: RobotSpec, constraint, q: jnp.ndarray) -> jnp.ndarray:
     p, R = _ee_frame(robot, q)
     if isinstance(constraint, OrientationConstraint):
-        achieved = R @ constraint.axis_local
+        # elementwise mat-vec: a batched 3x3 dot would hit padded MXU tiles
+        achieved = jnp.sum(R * constraint.axis_local[None, :], axis=-1)
         cosang = jnp.clip(jnp.dot(achieved, constraint.target_world), -1.0, 1.0)
         angle = jnp.arccos(cosang)
         excess = jnp.maximum(angle - constraint.tolerance, 0.0)

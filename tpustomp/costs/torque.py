@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from tpustomp.robot.fk import fk_frames
+from tpustomp.robot.fk import fk_frames, _mat_mul, _mat_vec
 from tpustomp.robot.model import RobotSpec, PRISMATIC
 
 GRAVITY = jnp.asarray([0.0, 0.0, -9.81], jnp.float32)
@@ -53,15 +53,14 @@ def rne_torques(robot: RobotSpec, q: jnp.ndarray, qd: jnp.ndarray,
     _, (omega, alpha, acc) = jax.lax.scan(fwd, init, jnp.arange(d), unroll=True)
 
     # ---- link wrenches about each joint origin ----
-    com_w = pos + jnp.einsum("dij,dj->di", rot, robot.link_com.astype(q.dtype))
+    com_w = pos + _mat_vec(rot, robot.link_com.astype(q.dtype))
     rc = com_w - pos
     a_com = (acc + jnp.cross(alpha, rc)
              + jnp.cross(omega, jnp.cross(omega, rc)))
     F = robot.link_mass[:, None] * a_com                       # [d, 3]
-    I_w = jnp.einsum("dij,djk,dlk->dil", rot,
-                     robot.link_inertia.astype(q.dtype), rot)
-    N = (jnp.einsum("dij,dj->di", I_w, alpha)
-         + jnp.cross(omega, jnp.einsum("dij,dj->di", I_w, omega)))
+    I_w = _mat_mul(_mat_mul(rot, robot.link_inertia.astype(q.dtype)),
+                   jnp.swapaxes(rot, -1, -2))
+    N = (_mat_vec(I_w, alpha) + jnp.cross(omega, _mat_vec(I_w, omega)))
 
     # ---- backward pass: accumulate child wrenches toward the base ----
     def bwd(carry, i):
@@ -77,8 +76,8 @@ def rne_torques(robot: RobotSpec, q: jnp.ndarray, qd: jnp.ndarray,
     f_all = f_all[::-1]
     n_all = n_all[::-1]
     tau = jnp.where(is_prism,
-                    jnp.einsum("di,di->d", axis_w, f_all),
-                    jnp.einsum("di,di->d", axis_w, n_all))
+                    jnp.sum(axis_w * f_all, axis=-1),
+                    jnp.sum(axis_w * n_all, axis=-1))
     return tau
 
 

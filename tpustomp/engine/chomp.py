@@ -46,7 +46,9 @@ def obstacle_functional_gradient(robot: RobotSpec, world, full_traj: jnp.ndarray
     else:
         ws = pd[..., None] * grad_d * speed[..., None] * dt
 
-    g = jnp.einsum("tbi,tbid->td", ws, J)             # [T, d]
+    # explicit multiply-add instead of einsum: the contraction dims (B, 3)
+    # are tiny, so dot lowering would pad onto the MXU tile for nothing
+    g = jnp.sum(ws[..., None] * J, axis=(1, 2))       # [T, d]
     return g[1:-1]                                    # interior rows only
 
 

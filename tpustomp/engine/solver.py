@@ -192,8 +192,26 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         # direction-preserving update cap (reference joint_update_limit)
         max_d = jnp.max(jnp.abs(delta))
         scale = jnp.minimum(1.0, cfg.chomp_joint_update_limit / (max_d + 1e-12))
-        theta_new = project(state.theta + scale * delta)
-        return finish(state, theta_new, {})
+        extra = {}
+        if cfg.use_hamiltonian_monte_carlo:
+            # Stochastic exploration from the CHOMP-HMC lineage (reference
+            # flag use_hamiltonian_monte_carlo, SURVEY A.11 [L]): perturb with
+            # R⁻¹-metric momentum noise at temperature decaying over
+            # iterations. Simplified to momentum-resample-every-step (no
+            # leapfrog sub-integration — the M-preconditioned update already
+            # plays the role of the position step).
+            key, sub = jax.random.split(state.key)
+            temp = (cfg.hmc_temperature
+                    * jnp.power(jnp.float32(cfg.noise.decay),
+                                state.iteration.astype(jnp.float32)))
+            hmc_sigma = temp * jnp.ones((robot.num_joints,), jnp.float32)
+            delta = delta * scale + sample_noise(
+                sub, ops.L_sample, hmc_sigma * cfg.hmc_step_size, 1)[0]
+            theta_new = project(state.theta + delta)
+            extra = dict(key=key)
+        else:
+            theta_new = project(state.theta + scale * delta)
+        return finish(state, theta_new, extra)
 
     return stomp_step if cfg.mode == "stomp" else chomp_step
 
