@@ -1,81 +1,129 @@
 """Benchmark entry point (driver contract): prints ONE JSON line to stdout.
 
 Headline metric: p50 replan latency on BASELINE config 2 (7-DOF arm, 100
-waypoints, 50 noisy rollouts/iteration) on one TPU chip, full solve to
-collision-free termination. Target from BASELINE.json: < 100 ms
-(`vs_baseline` = 100ms / measured — >1 means faster than target).
+waypoints, 50 noisy rollouts/iteration) on one TPU chip — full solve to
+collision-free termination, *end-to-end* including dispatch and result
+transfer through the axon relay (~25 ms of fixed overhead in this
+environment; the on-device solve itself is ~5 ms). Target from BASELINE.json:
+< 100 ms; `vs_baseline` = 100 ms / measured (>1 ⇒ faster than target).
 
-Secondary metrics (rollouts/s/chip kernel throughput, batched solves/s) print
-to stderr and are recorded by bench/ sub-benches.
+Secondary metrics (batched solves/s, rollouts/s/chip) run when BENCH_FULL=1
+(they need a ~1-4 min remote compile) and are written to BENCH_DETAILS.json;
+summary lines go to stderr either way.
 
-Run: python bench.py            (real TPU via the axon backend)
-     JAX_PLATFORMS=cpu python bench.py   (CPU smoke)
+Run: python bench.py                 (real TPU via the axon backend)
+     BENCH_FULL=1 python bench.py    (adds throughput benches)
+     JAX_PLATFORMS=cpu python bench.py  (CPU smoke)
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    from tpustomp.api.config import PlannerConfig, NoiseConfig, CostWeights
+def headline():
     from tpustomp.api.plan import plan
     from tpustomp.api.problem import ProblemSpec
-    from tpustomp.robot import model
-    from tpustomp.world.sdf import AnalyticWorld
+    from bench.common import config2_cfg, config2_scene
 
-    dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.platform})")
-
-    robot = model.arm_7dof()
-    world = AnalyticWorld.make(
-        boxes=[((0.6, 0.0, 0.2), (0.45, 0.6, 0.25)),
-               ((0.68, -0.05, 0.62), (0.06, 0.06, 0.18))])
-    cfg = PlannerConfig(
-        num_timesteps=100, duration=5.0, num_rollouts=50,
-        noise=NoiseConfig(stddev=0.08, decay=0.995, num_rollouts_reused=5),
-        weights=CostWeights(obstacle=1.0, smoothness=0.1),
-        collision_clearance=0.05, max_iterations=100,
-        max_iterations_after_collision_free=5, record_metrics=False,
-    )
-    q0 = np.asarray([-0.6, 0.5, 0.0, -0.8, 0.0, -0.5, 0.0], np.float32)
-    qN = np.asarray([0.4, 0.5, 0.0, -0.8, 0.0, -0.5, 0.0], np.float32)
+    robot, world, q0, qN = config2_scene()
+    cfg = config2_cfg()
     prob = ProblemSpec(q0=q0, qN=qN)
 
-    # warmup / compile
     t0 = time.perf_counter()
     sol = plan(robot, world, prob, cfg, key=jax.random.PRNGKey(0))
-    jax.block_until_ready(sol.trajectory)
+    _ = float(sol.cost)
     log(f"compile+first solve: {time.perf_counter() - t0:.2f}s "
         f"(success={bool(sol.success)}, iters={int(sol.iterations)})")
 
-    lat = []
-    succ = 0
+    lat, succ, iters = [], 0, []
     for i in range(20):
-        key = jax.random.PRNGKey(i)
         t0 = time.perf_counter()
-        sol = plan(robot, world, prob, cfg, key=key)
-        jax.block_until_ready(sol.trajectory)
+        sol = plan(robot, world, prob, cfg, key=jax.random.PRNGKey(i))
+        _ = float(sol.cost)  # force a real device->host transfer
         lat.append((time.perf_counter() - t0) * 1e3)
         succ += int(bool(sol.success))
-    lat = np.array(lat)
-    p50 = float(np.percentile(lat, 50))
-    log(f"latency ms: p50={p50:.2f} p90={np.percentile(lat, 90):.2f} "
-        f"min={lat.min():.2f} success {succ}/20")
+        iters.append(int(sol.iterations))
+    lat = np.asarray(lat)
+    res = {
+        "p50_ms": float(np.percentile(lat, 50)),
+        "p90_ms": float(np.percentile(lat, 90)),
+        "min_ms": float(lat.min()),
+        "success_rate": succ / 20,
+        "mean_iterations": float(np.mean(iters)),
+    }
+    log(f"replan latency: {res}")
+    return res
 
+
+def throughput(B=256):
+    import jax.numpy as jnp
+    from tpustomp.api.plan import plan_batch
+    from tpustomp.api.problem import ProblemSpec
+    from bench.common import config2_cfg, config2_scene
+
+    robot, world, q0, qN = config2_scene()
+    cfg = config2_cfg(max_iterations=50)
+    rng = np.random.default_rng(0)
+    Q0 = (np.tile(q0, (B, 1)) + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
+    QN = (np.tile(qN, (B, 1)) + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
+    prob = ProblemSpec(q0=Q0, qN=QN)
+
+    t0 = time.perf_counter()
+    sol = plan_batch(robot, world, prob, cfg,
+                     keys=jax.random.split(jax.random.PRNGKey(0), B))
+    _ = float(jnp.sum(sol.cost))
+    log(f"batched compile+first: {time.perf_counter() - t0:.1f}s")
+    ts = []
+    for i in (1, 2, 3):
+        t0 = time.perf_counter()
+        sol = plan_batch(robot, world, prob, cfg,
+                         keys=jax.random.split(jax.random.PRNGKey(i), B))
+        _ = float(jnp.sum(sol.cost))
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
+    mi = float(jnp.mean(sol.iterations.astype(jnp.float32)))
+    res = {
+        "batch": B,
+        "solves_per_sec": B / dt,
+        "success_rate": float(jnp.mean(sol.success.astype(jnp.float32))),
+        "rollouts_per_sec": B * 56 * mi / dt,   # 56 candidate evals/iteration
+    }
+    log(f"throughput: {res}")
+    return res
+
+
+def main():
+    # persistent compile cache: the remote TPU compile of the solver takes
+    # minutes cold; cached re-runs start in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        log(f"compile cache unavailable: {e}")
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    res = headline()
+    details = {"replan_latency_config2": res, "device": str(dev)}
+    if os.environ.get("BENCH_FULL") == "1":
+        details["throughput_config4"] = throughput()
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
     print(json.dumps({
         "metric": "p50_replan_latency_config2",
-        "value": round(p50, 3),
+        "value": round(res["p50_ms"], 3),
         "unit": "ms",
-        "vs_baseline": round(100.0 / p50, 3),
+        "vs_baseline": round(100.0 / res["p50_ms"], 3),
     }))
 
 
