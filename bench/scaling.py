@@ -1,11 +1,13 @@
 """BASELINE metric: solves/s scaling over devices/hosts.
 
 On real multi-chip hardware this measures solves/s at 1 chip vs the full
-mesh. In this single-chip environment it runs the identical sharded code path
-on N virtual CPU devices (JAX_PLATFORMS=cpu +
---xla_force_host_platform_device_count) and reports parallel efficiency of
-the scenario-sharded batch, which is the same collective-free program that
-runs on a pod slice (SURVEY §3.4 — comms only at dispatch/gather).
+mesh. In this single-chip environment, N virtual CPU devices share the same
+physical cores, so parallel "efficiency" is not measurable; what IS
+measurable — and is the quantity that determines multi-host efficiency for
+this collective-free program (SURVEY §3.4: comms only at dispatch/gather) —
+is the *sharding overhead*: the same batch solved with and without an
+8-device mesh. Low overhead here + zero in-loop collectives is the basis for
+the >=80%-at-2-hosts projection, to be confirmed on real multi-chip hardware.
 """
 
 import sys
@@ -17,7 +19,22 @@ sys.path.insert(0, ".")
 from bench.common import config2_cfg, config2_scene, log, timed  # noqa: E402
 
 
-def run(per_device=8):
+def run(B=64):
+    # single-chip environment (the axon tunnel exposes exactly one chip):
+    # fall back to N virtual CPU devices so the sharded code path and its
+    # efficiency are still exercised. Decided from the env var BEFORE any
+    # backend initialization so jax.config can still switch platforms.
+    import os as _os
+    if _os.environ.get("JAX_PLATFORMS") == "axon":
+        log("axon single-chip tunnel — switching to 8 virtual CPU devices "
+            "for the scaling measurement")
+        flags = _os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            _os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpustomp.api.plan import plan_batch
     from tpustomp.api.problem import ProblemSpec
     from tpustomp.engine import distributed
 
@@ -26,29 +43,26 @@ def run(per_device=8):
                       max_iterations_after_collision_free=10**6)
     ndev = jax.device_count()
     rng = np.random.default_rng(0)
-    out = {}
-    base_rate = None
-    for n in sorted({1, max(2, ndev // 2), ndev}):
-        mesh = distributed.make_mesh(jax.devices()[:n])
-        B = per_device * n
-        Q0 = (np.tile(q0, (B, 1))
-              + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
-        QN = (np.tile(qN, (B, 1))
-              + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
-        keys = jax.random.split(jax.random.PRNGKey(0), B)
+    Q0 = (np.tile(q0, (B, 1))
+          + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
+    QN = (np.tile(qN, (B, 1))
+          + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    prob = ProblemSpec(q0=Q0, qN=QN)
 
-        def fn():
-            return distributed.plan_sharded(
-                robot, world, ProblemSpec(q0=Q0, qN=QN), cfg,
-                keys=keys, mesh=mesh)
-
-        t = timed(fn, n=3)
-        rate = B / t
-        if base_rate is None:
-            base_rate = rate
-        eff = rate / (base_rate * n)
-        out[f"devices_{n}"] = {"solves_per_sec": rate, "efficiency": eff}
-        log(f"devices={n} B={B}: {rate:.1f} solves/s efficiency={eff:.2f}")
+    t_plain = timed(lambda: plan_batch(robot, world, prob, cfg, keys=keys),
+                    n=3)
+    mesh = distributed.make_mesh()
+    t_mesh = timed(lambda: distributed.plan_sharded(
+        robot, world, prob, cfg, keys=keys, mesh=mesh), n=3)
+    out = {
+        "batch": B,
+        "devices": ndev,
+        "solves_per_sec_unsharded": B / t_plain,
+        "solves_per_sec_sharded": B / t_mesh,
+        "sharding_overhead": t_mesh / t_plain - 1.0,
+    }
+    log(f"scaling: {out}")
     return out
 
 
