@@ -56,8 +56,78 @@ def plan(robot: RobotSpec, world, problem: ProblemSpec,
     q0 = jnp.asarray(problem.q0, jnp.float32)
     qN = jnp.asarray(problem.qN, jnp.float32)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
-    return _jitted_solve(cfg, constraints is not None)(
+    sol = _jitted_solve(cfg, constraints is not None)(
         robot, world, constraints, ops, q0, qN, key)
+    _maybe_animate(robot, world, sol, cfg)
+    return sol
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_chunk(cfg: PlannerConfig, has_constraints: bool):
+    def run(robot, world, constraints, ops, q0, qN, state, it_limit):
+        return solver.run_until(robot, world, constraints, cfg, ops, q0, qN,
+                                state, it_limit)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_finalize(cfg: PlannerConfig, has_constraints: bool):
+    def run(robot, world, constraints, ops, q0, qN, state):
+        return solver.finalize(robot, world, constraints, cfg, ops, q0, qN,
+                               state)
+
+    return jax.jit(run)
+
+
+def plan_timed(robot: RobotSpec, world, problem: ProblemSpec,
+               cfg: PlannerConfig = PlannerConfig(),
+               key: jax.Array | None = None, constraints=None,
+               chunk_iterations: int = 25) -> Solution:
+    """plan() with the reference's wall-clock failsafe: iterate in device
+    chunks of `chunk_iterations`, stop when `cfg.planning_time_limit` seconds
+    elapse, and return best-so-far (success=False if never collision-free) —
+    the behavior of the reference's planning_time_limit (SURVEY §6)."""
+    import time
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    q0 = jnp.asarray(problem.q0, jnp.float32)
+    qN = jnp.asarray(problem.qN, jnp.float32)
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+    run_chunk = _jitted_chunk(cfg, constraints is not None)
+    state = solver.init_state(robot, cfg, q0, qN, key)
+    deadline = time.monotonic() + cfg.planning_time_limit
+    while True:
+        limit = jnp.int32(min(int(state.iteration) + chunk_iterations,
+                              cfg.max_iterations))
+        state = run_chunk(robot, world, constraints, ops, q0, qN, state, limit)
+        if bool(state.done) or time.monotonic() >= deadline:
+            break
+    sol = _jitted_finalize(cfg, constraints is not None)(
+        robot, world, constraints, ops, q0, qN, state)
+    _maybe_animate(robot, world, sol, cfg)
+    return sol
+
+
+def _maybe_animate(robot, world, sol, cfg: PlannerConfig):
+    """Reference animate_path / animate_endeffector params -> figure dumps
+    (the RViz-marker replacement; see utils/viz.py)."""
+    if not (cfg.animate_path or cfg.animate_endeffector):
+        return
+    import os
+
+    from tpustomp.utils import viz
+
+    os.makedirs("tpustomp_viz", exist_ok=True)
+    try:
+        viz.plot_ee_path_3d(robot, sol, world,
+                            path=os.path.join("tpustomp_viz", "ee_path.png"))
+        if sol.metrics is not None:
+            viz.plot_metrics(sol, path=os.path.join("tpustomp_viz",
+                                                    "metrics.png"))
+    except Exception as e:  # viz must never break planning
+        print(f"[tpustomp] viz dump failed: {e}")
 
 
 def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,

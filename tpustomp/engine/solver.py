@@ -240,16 +240,26 @@ def init_state(robot: RobotSpec, cfg: PlannerConfig, q0, qN,
     )
 
 
-def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
-          ops: DeviceOps, q0: jnp.ndarray, qN: jnp.ndarray,
-          key: jax.Array, theta0: jnp.ndarray | None = None) -> Solution:
-    """Run one full planning query to termination (A.12). Pure; jit/vmap-able."""
-    step = make_step(robot, world, constraints, cfg, ops, q0, qN)
-    state = init_state(robot, cfg, q0, qN, key, theta0)
-    state = jax.lax.while_loop(lambda s: ~s.done, step, state)
+def run_until(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
+              ops: DeviceOps, q0, qN, state: SolverState,
+              it_limit) -> SolverState:
+    """Advance the solver until done or `it_limit` iterations (traced bound).
 
-    # Return the best collision-free trajectory if any was found; otherwise
-    # the final iterate with success=False (reference failsafe, SURVEY §6).
+    Used by the host replan wrapper to enforce the wall-clock
+    planning_time_limit between device chunks (reference failsafe, SURVEY §6).
+    """
+    step = make_step(robot, world, constraints, cfg, ops, q0, qN)
+    return jax.lax.while_loop(
+        lambda s: (~s.done) & (s.iteration < it_limit), step, state)
+
+
+def finalize(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
+             ops: DeviceOps, q0, qN, state: SolverState) -> Solution:
+    """Assemble the Solution from a (possibly budget-exhausted) state.
+
+    Returns the best collision-free trajectory if any was found; otherwise
+    the final iterate with success=False (reference failsafe, SURVEY §6).
+    """
     ret_theta = jnp.where(state.found_cf, state.best_theta, state.theta)
     _, _, margin, ret_total, _ = _evaluate(robot, world, constraints, cfg, ops,
                                            q0, qN, ret_theta)
@@ -268,3 +278,13 @@ def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         iterations=state.iteration,
         metrics=metrics,
     )
+
+
+def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
+          ops: DeviceOps, q0: jnp.ndarray, qN: jnp.ndarray,
+          key: jax.Array, theta0: jnp.ndarray | None = None) -> Solution:
+    """Run one full planning query to termination (A.12). Pure; jit/vmap-able."""
+    state = init_state(robot, cfg, q0, qN, key, theta0)
+    state = run_until(robot, world, constraints, cfg, ops, q0, qN, state,
+                      jnp.int32(cfg.max_iterations))
+    return finalize(robot, world, constraints, cfg, ops, q0, qN, state)
