@@ -68,7 +68,9 @@ class PositionConstraint:
 
 def _ee_frame(robot: RobotSpec, q: jnp.ndarray):
     pos, rot, _ = fk_frames(robot, q)
-    return pos[-1], rot[-1]
+    # tool point = last joint origin + rotated ee_offset (elementwise mat-vec)
+    p = pos[-1] + jnp.sum(rot[-1] * robot.ee_offset[None, :], axis=-1)
+    return p, rot[-1]
 
 
 def _cost_one(robot: RobotSpec, constraint, q: jnp.ndarray) -> jnp.ndarray:

@@ -48,6 +48,8 @@ class RobotSpec:
     joint_limited: jnp.ndarray  # [d] bool
     base_pos: jnp.ndarray       # [3]
     base_rot: jnp.ndarray       # [3, 3]
+    # tool/end-effector point in the last joint's frame (constraint costs)
+    ee_offset: jnp.ndarray      # [3]
     # sphere collision bodies (reference: StompCollisionPoint)
     body_link: jnp.ndarray      # [B] int32 — joint index the sphere rides on
     body_offset: jnp.ndarray    # [B, 3] position in that joint's frame
@@ -70,7 +72,7 @@ class RobotSpec:
 def _spec(joint_axis, joint_offset, joint_rot, lower, upper, limited,
           body_link, body_offset, body_radius, joint_type=None,
           base_pos=None, base_rot=None, link_mass=None, link_com=None,
-          link_inertia=None) -> RobotSpec:
+          link_inertia=None, ee_offset=None) -> RobotSpec:
     d = len(joint_axis)
     f32 = jnp.float32
     return RobotSpec(
@@ -84,6 +86,8 @@ def _spec(joint_axis, joint_offset, joint_rot, lower, upper, limited,
         joint_limited=jnp.asarray(limited, bool),
         base_pos=jnp.asarray(base_pos if base_pos is not None else [0, 0, 0], f32),
         base_rot=jnp.asarray(base_rot if base_rot is not None else np.eye(3), f32),
+        ee_offset=jnp.asarray(
+            ee_offset if ee_offset is not None else [0, 0, 0], f32),
         body_link=jnp.asarray(body_link, jnp.int32),
         body_offset=jnp.asarray(body_offset, f32),
         body_radius=jnp.asarray(body_radius, f32),
@@ -131,7 +135,8 @@ def planar_2r(link_lengths=(1.0, 1.0), body_radius=0.05,
     return _spec(axes, offsets, _eye(2), lower, upper, [False, False],
                  body_link, body_offset, body_radius_l,
                  link_mass=list(masses),
-                 link_com=[[l1, 0, 0], [l2, 0, 0]])
+                 link_com=[[l1, 0, 0], [l2, 0, 0]],
+                 ee_offset=[l2, 0, 0])
 
 
 def arm_7dof(spheres_per_link: int = 4) -> RobotSpec:
@@ -186,4 +191,5 @@ def arm_7dof(spheres_per_link: int = 4) -> RobotSpec:
                 (0.01, 0.01, 0.02, 0.008, 0.01, 0.003, 0.001)]
     return _spec(axes, offsets, _eye(7), lower, upper, limited,
                  body_link, body_offset, body_radius,
-                 link_mass=masses, link_com=coms, link_inertia=inertias)
+                 link_mass=masses, link_com=coms, link_inertia=inertias,
+                 ee_offset=[hand, 0, 0])

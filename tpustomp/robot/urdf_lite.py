@@ -235,7 +235,8 @@ def load_urdf(xml_text: str, root: str | None = None, tip: str | None = None,
 
     return _spec(axes, offsets, np.stack(rots), lowers, uppers, limited,
                  body_link, body_offset, body_radius, joint_type=types,
-                 link_mass=masses, link_com=coms, link_inertia=inertias)
+                 link_mass=masses, link_com=coms, link_inertia=inertias,
+                 ee_offset=pending_xyz)  # tip-link frame via trailing fixed joints
 
 
 def load_urdf_file(path: str, **kw) -> RobotSpec:
