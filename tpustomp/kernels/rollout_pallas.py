@@ -7,24 +7,25 @@ evaluation, the ~80-90% of reference wall time. SURVEY §8.1 anticipated this
 kernel (kernels/rollout_pallas.py) with the XLA path as fallback.
 
 Why Pallas: XLA evaluates the FK chain as ~20 fused elementwise kernels whose
-[C, T, 3x3] intermediates round-trip HBM — measured HBM-bandwidth-bound at
-large candidate counts. This kernel keeps the whole chain (positions,
-rotations, body positions, distances) in VMEM scratch/registers: HBM traffic
-drops to one read of the trajectories + one write of the cost rows.
+[C, T, 3x3] intermediates round-trip HBM. This kernel keeps the whole chain
+(frames, body positions, distances) in VMEM: HBM traffic drops to one read
+of the trajectories + one write of the cost rows.
 
 Layout: candidates tile over a grid; inside a tile every scalar field is a
-[TILE_C, T] 2-D block (sublane = candidate, lane = waypoint), so all frame
-algebra is elementwise VPU work and the time-axis coupling (workspace
-velocity central differences) is static slicing along lanes.
+[TILE_C, T] block (sublane = candidate, lane = waypoint), so frame algebra is
+elementwise VPU work and the time-axis coupling (workspace velocity central
+differences) is lane rolls. The joint chain and the body set are ROLLED
+`fori_loop`s whose per-iteration parameters (axes, offsets, fixed rotations,
+attachments, radii) live in SMEM — Mosaic assigns a VMEM stack slot to every
+unrolled temporary, so unrolled variants blow the 16 MB scoped-VMEM limit at
+useful tile sizes (measured: 44 MB at TILE_C=64 unrolled vs ~4 MB rolled).
 
-Specialization: the kernel is built per (robot, world, shapes) — the chain
-structure, sphere attachment, and primitive list unroll statically. Analytic
-worlds only (grid SDF keeps the XLA gather path; SURVEY §8.3 part 1).
+Specialization: built per (world primitives, shapes); robot params are SMEM
+inputs. Analytic worlds, revolute chains (grid SDF / prismatic joints use
+the XLA path; SURVEY §8.3 part 1).
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 import jax
@@ -32,100 +33,114 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_C = 64  # candidates per tile (sublane dimension; multiple of 8)
-
-
-def _rot_apply(R, v):
-    """R: tuple of 9 [TC,T] fields (row-major), v: 3 fields -> 3 fields."""
-    return (
-        R[0] * v[0] + R[1] * v[1] + R[2] * v[2],
-        R[3] * v[0] + R[4] * v[1] + R[5] * v[2],
-        R[6] * v[0] + R[7] * v[1] + R[8] * v[2],
-    )
-
-
-def _rot_mul(A, B):
-    """3x3 @ 3x3 on 9-field tuples."""
-    out = []
-    for i in range(3):
-        for j in range(3):
-            out.append(A[3 * i + 0] * B[0 + j] + A[3 * i + 1] * B[3 + j]
-                       + A[3 * i + 2] * B[6 + j])
-    return tuple(out)
-
-
-def _const_fields(mat, like):
-    """Broadcast a static 3x3 numpy matrix to 9 [TC,T] constant fields."""
-    return tuple(jnp.full_like(like, float(mat[i // 3, i % 3]))
-                 for i in range(9))
+TILE_C = 64  # candidates per tile (multiple of 8)
 
 
 def build_rollout_kernel(robot, world, num_waypoints: int, dt: float,
-                         clearance: float, interpret: bool = False):
-    """Build the fused evaluator for static (robot, world, T=num_waypoints).
+                         clearance: float, interpret: bool = False,
+                         tile_c: int | None = None):
+    """Build the fused evaluator for static (world, T=num_waypoints).
 
-    robot: RobotSpec (host-read; values baked into the kernel).
-    world: AnalyticWorld (sphere/box primitives baked in).
-    Returns fn(cand_full [C, T, d]) -> (q_obs [C, T], margin_row [C, T])
-    with C a multiple of TILE_C (caller pads).
+    Returns fn(cand_full [C, T, d]) -> (q_obs [C, T], margin_row [C, T]);
+    C must be a multiple of the tile size (caller pads).
     """
-    # --- pull static structure to host ---------------------------------
-    axes = np.asarray(robot.joint_axis, np.float64)
-    offsets = np.asarray(robot.joint_offset, np.float64)
-    rot_fixed = np.asarray(robot.joint_rot, np.float64)
+    tile = tile_c or TILE_C
     jtypes = np.asarray(robot.joint_type)
-    base_pos = np.asarray(robot.base_pos, np.float64)
-    base_rot = np.asarray(robot.base_rot, np.float64)
-    body_link = [int(b) for b in np.asarray(robot.body_link)]
-    body_offset = np.asarray(robot.body_offset, np.float64)
-    body_radius = np.asarray(robot.body_radius, np.float64)
+    if np.any(jtypes != 0):
+        raise NotImplementedError("pallas kernel supports revolute chains; "
+                                  "use the XLA path for prismatic joints")
+    d = int(np.asarray(robot.joint_axis).shape[0])
+    n_bodies = int(np.asarray(robot.body_link).shape[0])
+    T = num_waypoints
+
+    base_pos = np.asarray(robot.base_pos, np.float32)
+    base_rot = np.asarray(robot.base_rot, np.float32)
     spheres = np.asarray(world.sphere_center, np.float64).reshape(-1, 3)
     sphere_r = np.asarray(world.sphere_radius, np.float64).reshape(-1)
     boxes_c = np.asarray(world.box_center, np.float64).reshape(-1, 3)
     boxes_h = np.asarray(world.box_half, np.float64).reshape(-1, 3)
-    d = axes.shape[0]
-    T = num_waypoints
-    if np.any(jtypes != 0):
-        raise NotImplementedError("pallas kernel supports revolute chains; "
-                                  "use the XLA path for prismatic joints")
 
-    n_bodies = len(body_link)
-
-    def kernel(radius_ref, cand_ref, q_obs_ref, margin_ref, xb_ref, rp_ref):
-        # radius_ref: [n_bodies] SMEM; cand_ref: [TILE_C, T, d] VMEM;
-        # xb_ref: VMEM scratch [n_bodies, 3, TC, T] — a dataflow barrier
-        # between the FK phase and the cost phase, so the Mosaic stack only
-        # holds one phase's temporaries at a time.
-        zero = jnp.zeros((TILE_C, T), jnp.float32)
+    def kernel(axis_ref, off_ref, rotf_ref, blink_ref, boff_ref, brad_ref,
+               cand_ref, q_obs_ref, margin_ref, frames_ref):
+        # SMEM params: axis[d,3] off[d,3] rotf[d,9] blink[n_bodies]
+        #              boff[n_bodies,3] brad[n_bodies]
+        # cand_ref: [d, TILE_C, T] (joint-major so the rolled loop indexes
+        # the leading dim); frames_ref: VMEM scratch [d, 12, TILE_C, T]
+        # holding (R row-major 0..8, p 9..11) per joint.
+        zero = jnp.zeros((tile, T), jnp.float32)
         inv2dt = 1.0 / (2.0 * dt)
-        t_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_C, T), 1)
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, T), 1)
 
-        def body_cost(b, bx, q_obs, margin):
-            """One sphere body's SDF/velocity cost. Called from a ROLLED
-            fori_loop so the live set is O(1) regardless of body count
-            (Mosaic allocates stack per unrolled temporary)."""
-            radius = radius_ref[b]
+        # ---- FK: rolled loop over joints, frames staged to scratch ----
+        def fk_body(j, carry):
+            p0, p1, p2, R = carry          # p fields + 9-tuple R
+            o0, o1, o2 = off_ref[j, 0], off_ref[j, 1], off_ref[j, 2]
+            p0 = p0 + R[0] * o0 + R[1] * o1 + R[2] * o2
+            p1 = p1 + R[3] * o0 + R[4] * o1 + R[5] * o2
+            p2 = p2 + R[6] * o0 + R[7] * o1 + R[8] * o2
+            # R <- R @ rot_fixed[j]
+            F = [rotf_ref[j, k] for k in range(9)]
+            R = tuple(R[3 * i + 0] * F[0 + c] + R[3 * i + 1] * F[3 + c]
+                      + R[3 * i + 2] * F[6 + c]
+                      for i in range(3) for c in range(3))
+            # R <- R @ rodrigues(axis[j], q_j)
+            x, y, z = axis_ref[j, 0], axis_ref[j, 1], axis_ref[j, 2]
+            qj = cand_ref[j, :, :]
+            s, c = jnp.sin(qj), jnp.cos(qj)
+            oc = 1.0 - c
+            G = (c + x * x * oc, x * y * oc - z * s, x * z * oc + y * s,
+                 y * x * oc + z * s, c + y * y * oc, y * z * oc - x * s,
+                 z * x * oc - y * s, z * y * oc + x * s, c + z * z * oc)
+            R = tuple(R[3 * i + 0] * G[0 + cc] + R[3 * i + 1] * G[3 + cc]
+                      + R[3 * i + 2] * G[6 + cc]
+                      for i in range(3) for cc in range(3))
+            for k in range(9):
+                frames_ref[j, k, :, :] = R[k]
+            frames_ref[j, 9, :, :] = p0
+            frames_ref[j, 10, :, :] = p1
+            frames_ref[j, 11, :, :] = p2
+            return (p0, p1, p2, R)
+
+        init = (zero + float(base_pos[0]), zero + float(base_pos[1]),
+                zero + float(base_pos[2]),
+                tuple(zero + float(base_rot[i // 3, i % 3]) for i in range(9)))
+        jax.lax.fori_loop(0, d, fk_body, init)
+
+        # ---- cost: rolled loop over bodies reading staged frames ----
+        def body_fn(b, carry):
+            q_obs, margin = carry
+            link = blink_ref[b]
+            o0, o1, o2 = boff_ref[b, 0], boff_ref[b, 1], boff_ref[b, 2]
+            radius = brad_ref[b]
+            bx0 = (frames_ref[link, 9, :, :] + frames_ref[link, 0, :, :] * o0
+                   + frames_ref[link, 1, :, :] * o1
+                   + frames_ref[link, 2, :, :] * o2)
+            bx1 = (frames_ref[link, 10, :, :] + frames_ref[link, 3, :, :] * o0
+                   + frames_ref[link, 4, :, :] * o1
+                   + frames_ref[link, 5, :, :] * o2)
+            bx2 = (frames_ref[link, 11, :, :] + frames_ref[link, 6, :, :] * o0
+                   + frames_ref[link, 7, :, :] * o1
+                   + frames_ref[link, 8, :, :] * o2)
+            bx = (bx0, bx1, bx2)
+
             dist = zero + 1e6
             for sidx in range(spheres.shape[0]):
-                cx, cy, cz = (float(spheres[sidx][0]), float(spheres[sidx][1]),
-                              float(spheres[sidx][2]))
-                rel0, rel1, rel2 = bx[0] - cx, bx[1] - cy, bx[2] - cz
-                ds = jnp.sqrt(rel0 * rel0 + rel1 * rel1 + rel2 * rel2
-                              ) - float(sphere_r[sidx])
+                r0 = bx0 - float(spheres[sidx][0])
+                r1 = bx1 - float(spheres[sidx][1])
+                r2 = bx2 - float(spheres[sidx][2])
+                ds = jnp.sqrt(r0 * r0 + r1 * r1 + r2 * r2) - float(sphere_r[sidx])
                 dist = jnp.minimum(dist, ds)
             for bidx in range(boxes_c.shape[0]):
                 qs = [jnp.abs(bx[i] - float(boxes_c[bidx][i]))
                       - float(boxes_h[bidx][i]) for i in range(3)]
-                out0 = jnp.maximum(qs[0], 0.0)
-                out1 = jnp.maximum(qs[1], 0.0)
-                out2 = jnp.maximum(qs[2], 0.0)
-                outside = jnp.sqrt(out0 * out0 + out1 * out1 + out2 * out2)
+                o_0 = jnp.maximum(qs[0], 0.0)
+                o_1 = jnp.maximum(qs[1], 0.0)
+                o_2 = jnp.maximum(qs[2], 0.0)
+                outside = jnp.sqrt(o_0 * o_0 + o_1 * o_1 + o_2 * o_2)
                 inside = jnp.minimum(jnp.maximum(jnp.maximum(qs[0], qs[1]),
                                                  qs[2]), 0.0)
                 dist = jnp.minimum(dist, outside + inside)
 
-            # workspace speed: lane shifts via circular roll, wrapped ends
-            # overridden by one-sided differences
             sp2 = zero
             for i in range(3):
                 xi = bx[i]
@@ -142,81 +157,43 @@ def build_rollout_kernel(robot, world, num_waypoints: int, dt: float,
                 d_sig < 0.0, -d_sig + 0.5 * clearance,
                 jnp.where(d_sig <= clearance,
                           (d_sig - clearance) ** 2 / (2.0 * clearance), 0.0))
-            return (q_obs + pot * speed,
-                    jnp.minimum(margin, dist - radius))
+            return (q_obs + pot * speed, jnp.minimum(margin, dist - radius))
 
-        # ---- FK down the chain, staging body positions to scratch ----
-        # The frame state (R, p) round-trips the rp_ref scratch after every
-        # joint: the store/load breaks the unrolled expression tree's live
-        # ranges, keeping the Mosaic VMEM stack bounded per joint.
-        p = tuple(zero + float(base_pos[i]) for i in range(3))
-        R = _const_fields(base_rot, zero)
-        for j in range(d):
-            if j > 0:
-                R = tuple(rp_ref[k, :, :] for k in range(9))
-                p = tuple(rp_ref[9 + i, :, :] for i in range(3))
-            off = offsets[j]
-            p = tuple(p[i] + R[3 * i + 0] * float(off[0])
-                      + R[3 * i + 1] * float(off[1])
-                      + R[3 * i + 2] * float(off[2]) for i in range(3))
-            if not np.allclose(rot_fixed[j], np.eye(3)):
-                R = _rot_mul(R, _const_fields(rot_fixed[j], zero))
-            qj = cand_ref[:, :, j]                    # [TC, T]
-            s, c = jnp.sin(qj), jnp.cos(qj)
-            ax = axes[j]
-            x, y, z = float(ax[0]), float(ax[1]), float(ax[2])
-            one_c = 1.0 - c
-            # Rodrigues as 9 fields
-            Rj = (c + x * x * one_c, x * y * one_c - z * s, x * z * one_c + y * s,
-                  y * x * one_c + z * s, c + y * y * one_c, y * z * one_c - x * s,
-                  z * x * one_c - y * s, z * y * one_c + x * s, c + z * z * one_c)
-            R = _rot_mul(R, Rj)
-            for k in range(9):
-                rp_ref[k, :, :] = R[k]
-            for i in range(3):
-                rp_ref[9 + i, :, :] = p[i]
-            for b, link in enumerate(body_link):
-                if link == j:
-                    bo = body_offset[b]
-                    for i in range(3):
-                        xb_ref[b, i, :, :] = (
-                            p[i] + R[3 * i + 0] * float(bo[0])
-                            + R[3 * i + 1] * float(bo[1])
-                            + R[3 * i + 2] * float(bo[2]))
-
-        # ---- cost phase: rolled loop over staged body positions ----
-        def loop_body(b, carry):
-            q_obs, margin = carry
-            bx = (xb_ref[b, 0, :, :], xb_ref[b, 1, :, :], xb_ref[b, 2, :, :])
-            return body_cost(b, bx, q_obs, margin)
-
-        q_obs, margin = jax.lax.fori_loop(0, n_bodies, loop_body,
+        q_obs, margin = jax.lax.fori_loop(0, n_bodies, body_fn,
                                           (zero, zero + 1e6))
         q_obs_ref[:, :] = q_obs * dt
         margin_ref[:, :] = margin
 
+    axis_arr = jnp.asarray(np.asarray(robot.joint_axis), jnp.float32)
+    off_arr = jnp.asarray(np.asarray(robot.joint_offset), jnp.float32)
+    rotf_arr = jnp.asarray(
+        np.asarray(robot.joint_rot).reshape(d, 9), jnp.float32)
+    blink_arr = jnp.asarray(np.asarray(robot.body_link), jnp.int32)
+    boff_arr = jnp.asarray(np.asarray(robot.body_offset), jnp.float32)
+    brad_arr = jnp.asarray(np.asarray(robot.body_radius), jnp.float32)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     def fn(cand_full: jnp.ndarray):
         C = cand_full.shape[0]
-        assert C % TILE_C == 0, f"pad candidate count to {TILE_C} (got {C})"
-        radius_arr = jnp.asarray(body_radius, jnp.float32)
+        assert C % tile == 0, f"pad candidate count to {tile} (got {C})"
+        cand_jm = jnp.transpose(cand_full.astype(jnp.float32), (2, 0, 1))
         return pl.pallas_call(
             kernel,
-            grid=(C // TILE_C,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec((TILE_C, T, d), lambda i: (i, 0, 0),
+            grid=(C // tile,),
+            in_specs=[smem, smem, smem, smem, smem, smem,
+                      pl.BlockSpec((d, tile, T), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=[
-                pl.BlockSpec((TILE_C, T), lambda i: (i, 0),
+                pl.BlockSpec((tile, T), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_C, T), lambda i: (i, 0),
+                pl.BlockSpec((tile, T), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[jax.ShapeDtypeStruct((C, T), jnp.float32),
                        jax.ShapeDtypeStruct((C, T), jnp.float32)],
-            scratch_shapes=[
-                pltpu.VMEM((n_bodies, 3, TILE_C, T), jnp.float32),
-                pltpu.VMEM((12, TILE_C, T), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((d, 12, tile, T), jnp.float32)],
             interpret=interpret,
-        )(radius_arr, cand_full.astype(jnp.float32))
+        )(axis_arr, off_arr, rotf_arr, blink_arr, boff_arr, brad_arr, cand_jm)
 
     return fn
