@@ -20,27 +20,29 @@ def test_kernel_matches_xla_path(robot_name):
         spheres=[((0.3, 0.3, 0.9), 0.1), ((1.2, -0.4, 0.0), 0.3)])
     T = 34
     d = robot.num_joints
-    C = rp.TILE_C
+    C = 24  # deliberately not a tile multiple: exercises padding
     dt, clearance = 0.05, 0.08
     rng = np.random.default_rng(0)
     cand = rng.uniform(-1.2, 1.2, (C, T, d)).astype(np.float32)
 
-    fn = rp.build_rollout_kernel(robot, world, T, dt, clearance,
-                                 interpret=True)
-    q_obs, margin_row = fn(jnp.asarray(cand))
+    q_obs, margin = rp.obstacle_cost_batch_pallas(
+        robot, world, jnp.asarray(cand), dt, clearance, interpret=True)
 
     for c in range(0, C, max(1, C // 5)):
         q_ref, m_ref = obst.obstacle_cost(robot, world, jnp.asarray(cand[c]),
                                           dt, clearance)
         np.testing.assert_allclose(np.asarray(q_obs[c]), np.asarray(q_ref),
                                    atol=2e-6)
-        assert abs(float(jnp.min(margin_row[c])) - float(m_ref)) < 1e-6
+        assert abs(float(margin[c]) - float(m_ref)) < 1e-6
 
 
-def test_kernel_rejects_prismatic():
+def test_supports_flags():
     import dataclasses
     robot = model.planar_2r()
-    robot = dataclasses.replace(robot, joint_type=jnp.asarray([1, 0]))
     world = AnalyticWorld.make(spheres=[((0, 0, 0), 0.1)])
-    with pytest.raises(NotImplementedError):
-        rp.build_rollout_kernel(robot, world, 10, 0.1, 0.05, interpret=True)
+    assert rp.supports(robot, world)
+    prism = dataclasses.replace(robot, joint_type=jnp.asarray([1, 0]))
+    assert not rp.supports(prism, world)
+    from tpustomp.world import edt
+    grid = edt.signed_edt(np.ones((4, 4, 4), bool), 0.1, (0, 0, 0))
+    assert not rp.supports(robot, grid)

@@ -128,6 +128,11 @@ class PlannerConfig:
     # Obstacle-potential clearance epsilon in meters (reference
     # `collision_clearance`, SURVEY A.4).
     collision_clearance: float = 0.05
+    # Rollout-evaluation backend for the fused FK→SDF→cost hot loop:
+    # "auto" resolves to "pallas" on TPU for analytic worlds with revolute
+    # chains (kernels/rollout_pallas.py), else "xla". Force with
+    # "xla" | "pallas".
+    obstacle_backend: str = "auto"
     # Signed distance (beyond sphere radius) above which a body is counted
     # collision-free for termination (reference `collision_threshold`).
     collision_threshold: float = 0.0

@@ -28,6 +28,19 @@ from tpustomp.engine import solver
 from tpustomp.robot.model import RobotSpec
 
 
+def resolve_backend(cfg: PlannerConfig, robot, world) -> PlannerConfig:
+    """Resolve obstacle_backend="auto" to a concrete backend: the fused
+    pallas kernel on TPU for analytic worlds with revolute chains, else the
+    XLA path (kernels/rollout_pallas.py)."""
+    if cfg.obstacle_backend != "auto":
+        return cfg
+    from tpustomp.kernels import rollout_pallas
+
+    use = (jax.default_backend() == "tpu"
+           and rollout_pallas.supports(robot, world))
+    return cfg.replace(obstacle_backend="pallas" if use else "xla")
+
+
 @functools.lru_cache(maxsize=32)
 def _jitted_solve(cfg: PlannerConfig, has_constraints: bool):
     def run(robot, world, constraints, ops, q0, qN, key):
@@ -53,6 +66,7 @@ def plan(robot: RobotSpec, world, problem: ProblemSpec,
     """Solve one planning query. Returns a Solution pytree (device arrays)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    cfg = resolve_backend(cfg, robot, world)
     q0 = jnp.asarray(problem.q0, jnp.float32)
     qN = jnp.asarray(problem.qN, jnp.float32)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
@@ -92,6 +106,7 @@ def plan_timed(robot: RobotSpec, world, problem: ProblemSpec,
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    cfg = resolve_backend(cfg, robot, world)
     q0 = jnp.asarray(problem.q0, jnp.float32)
     qN = jnp.asarray(problem.qN, jnp.float32)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
@@ -143,6 +158,7 @@ def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,
     qN = jnp.asarray(problem.qN, jnp.float32)
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), q0.shape[0])
+    cfg = resolve_backend(cfg, robot, world)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
     return _jitted_solve_batch(cfg, constraints is not None)(
         robot, world, constraints, ops, q0, qN, keys)

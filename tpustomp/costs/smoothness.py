@@ -32,6 +32,18 @@ def smoothness_cost_per_timestep(ops: DeviceOps, theta: jnp.ndarray,
     return jnp.einsum("a,ar->r", ops.w, per_dt)            # [N+2]
 
 
+def smoothness_cost_per_timestep_batch(ops: DeviceOps, thetas: jnp.ndarray,
+                                       q0: jnp.ndarray, qN: jnp.ndarray
+                                       ) -> jnp.ndarray:
+    """Batched control-cost rows: thetas [C, N, d] -> [C, N+2]."""
+    q = jnp.stack([q0, qN], axis=0)
+    deriv = (jnp.einsum("arn,cnd->card", ops.A_stack, thetas, precision=_HI)
+             + jnp.einsum("arq,qd->ard", ops.B_stack, q,
+                          precision=_HI)[None])        # [C, D, N+2, d]
+    per_t = 0.5 * jnp.sum(deriv * deriv, axis=3)       # [C, D, N+2]
+    return jnp.einsum("a,car->cr", ops.w, per_t)       # [C, N+2]
+
+
 def smoothness_cost(ops: DeviceOps, theta: jnp.ndarray,
                     q0: jnp.ndarray, qN: jnp.ndarray) -> jnp.ndarray:
     """theta [N, d]; q0, qN [d] -> scalar cost."""

@@ -75,6 +75,42 @@ def _evaluate(robot, world, constraints, cfg: PlannerConfig, ops: DeviceOps,
     return S, ctrl_t, margin, total, (jnp.sum(q_obs), ctrl, jnp.sum(q_con))
 
 
+def _evaluate_batch(robot, world, constraints, cfg: PlannerConfig,
+                    ops: DeviceOps, q0, qN, thetas):
+    """Batched candidate evaluation: thetas [C, N, d].
+
+    Returns (S [C, N+2], ctrl_t [C, N+2], margins [C], totals [C],
+    parts ([C] obstacle sums, [C] ctrl sums, [C] constraint sums)).
+    Backend "pallas" runs the fused rollout kernel (one launch for ALL
+    candidates); "xla" vmaps the single-trajectory path.
+    """
+    if cfg.obstacle_backend != "pallas":
+        return jax.vmap(lambda th: _evaluate(robot, world, constraints, cfg,
+                                             ops, q0, qN, th))(thetas)
+
+    from tpustomp.costs.smoothness import smoothness_cost_per_timestep_batch
+    from tpustomp.kernels.rollout_pallas import obstacle_cost_batch_pallas
+
+    fulls = jax.vmap(lambda th: full_trajectory(th, q0, qN))(thetas)
+    q_obs, margins = obstacle_cost_batch_pallas(
+        robot, world, fulls, cfg.dt, cfg.collision_clearance)
+    S = cfg.weights.obstacle * q_obs
+    q_con_sum = jnp.zeros(thetas.shape[0], thetas.dtype)
+    if constraints is not None:
+        q_con = jax.vmap(lambda f: constraint_cost(robot, constraints, f)
+                         )(fulls)
+        S = S + cfg.weights.constraint * q_con
+        q_con_sum = jnp.sum(q_con, axis=1)
+    if cfg.weights.torque > 0.0:
+        q_tau = jax.vmap(lambda f: torque_cost(robot, f, cfg.dt))(fulls)
+        S = S + cfg.weights.torque * q_tau
+    ctrl_t = smoothness_cost_per_timestep_batch(ops, thetas, q0, qN)
+    ctrl = jnp.sum(ctrl_t, axis=1)
+    totals = jnp.sum(S, axis=1) + cfg.weights.smoothness * ctrl
+    return S, ctrl_t, margins, totals, (jnp.sum(q_obs, axis=1), ctrl,
+                                        q_con_sum)
+
+
 def _record(state: SolverState, it, total, parts, cf) -> dict:
     return dict(
         m_total=state.m_total.at[it].set(total),
@@ -147,7 +183,8 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         eps = cand - state.theta[None]                 # re-centered noise (A.3)
 
         # [1+Ktot, N+2] rows; slot 0 is the current trajectory
-        S_all, ctrl_all, margins, cand_total, parts = jax.vmap(evaluate)(cand)
+        S_all, ctrl_all, margins, cand_total, parts = _evaluate_batch(
+            robot, world, constraints, cfg, ops, q0, qN, cand)
 
         # --- bookkeeping on the current θ (slot 0) --------------------- A.12
         total0 = cand_total[0]

