@@ -223,6 +223,16 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
     the (possibly traced) arrays; values stay traced.
     """
     C, T, d = full_trajs.shape
+    # zero-length SMEM operands break Mosaic layout verification; pad empty
+    # primitive sets with one far-away sentinel (min() ignores it)
+    if world.sphere_radius.shape[0] == 0:
+        world = world.replace(
+            sphere_center=jnp.full((1, 3), 1e6, jnp.float32),
+            sphere_radius=jnp.zeros((1,), jnp.float32))
+    if world.box_half.shape[0] == 0:
+        world = world.replace(
+            box_center=jnp.full((1, 3), 1e6, jnp.float32),
+            box_half=jnp.full((1, 3), 1e-3, jnp.float32))
     shapes = (d, robot.body_link.shape[0], world.sphere_radius.shape[0],
               world.box_half.shape[0], T)
     fn = build_rollout_kernel(shapes, dt, clearance, interpret=interpret,
