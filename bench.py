@@ -35,7 +35,11 @@ def headline():
     from bench.common import config2_cfg, config2_scene
 
     robot, world, q0, qN = config2_scene()
-    cfg = config2_cfg()
+    # latency is relay-dispatch dominated and identical across backends
+    # (measured 27.6 vs 28.5 ms); force the XLA path for its far faster
+    # compile so the driver's bench run stays robust. The pallas backend is
+    # exercised by the BENCH_FULL throughput bench (where it wins 3x).
+    cfg = config2_cfg(obstacle_backend="xla")
     prob = ProblemSpec(q0=q0, qN=qN)
 
     t0 = time.perf_counter()
@@ -71,7 +75,7 @@ def throughput(B=256):
     from bench.common import config2_cfg, config2_scene
 
     robot, world, q0, qN = config2_scene()
-    cfg = config2_cfg(max_iterations=50)
+    cfg = config2_cfg(max_iterations=50)  # obstacle_backend="auto" -> pallas on TPU
     rng = np.random.default_rng(0)
     Q0 = (np.tile(q0, (B, 1)) + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
     QN = (np.tile(qN, (B, 1)) + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)

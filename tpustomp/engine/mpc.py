@@ -144,6 +144,12 @@ def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     """
     if mesh is None:
         mesh = make_mesh()
+    from tpustomp.api.plan import resolve_backend
+    from tpustomp.world.sdf import AnalyticWorld
+    probe = AnalyticWorld(
+        sphere_center=jnp.zeros((1, 3)), sphere_radius=jnp.ones((1,)),
+        box_center=jnp.zeros((0, 3)), box_half=jnp.zeros((0, 3)))
+    cfg = resolve_backend(cfg, robot, probe)
     state = jax.tree.map(lambda x: _shard_batch(np.asarray(x), mesh), state)
     fn = _sharded_mpc(cfg, mesh, num_ticks, world_dt)
     return fn(robot, state, jnp.asarray(sphere_radius, jnp.float32))
