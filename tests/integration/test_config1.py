@@ -102,6 +102,20 @@ def test_stomp_with_rollout_reuse_converges():
     assert bool(sol.success)
 
 
+def test_pi2_control_cost_in_probabilities_converges():
+    """The PI² lineage's control-cost-in-S formulation (off by default; see
+    config docstring) still solves config 1 when the smoothness weight is
+    scaled so the obstacle signal survives."""
+    cfg = _cfg(pi2_include_control_cost=True,
+               weights=CostWeights(obstacle=1.0, smoothness=0.001),
+               noise=NoiseConfig(stddev=0.25, decay=0.995,
+                                 num_rollouts_reused=3))
+    robot = model.planar_2r(body_radius=0.05)
+    sol = plan(robot, _world(), ProblemSpec(q0=Q0, qN=QN), cfg,
+               key=jax.random.PRNGKey(0))
+    assert bool(sol.success)
+
+
 def test_collision_free_problem_terminates_quickly():
     """No obstacle in the way ⇒ min-jerk init is already collision-free ⇒
     terminates after max_iterations_after_collision_free iterations (§5.3)."""
