@@ -138,6 +138,23 @@ def test_chomp_mode_converges():
     assert bool(sol.success), "CHOMP did not reach collision-free"
 
 
+def test_chomp_hmc_mode_converges():
+    """CHOMP with Hamiltonian exploration (reference use_hamiltonian_monte_carlo):
+    velocity-form leapfrog + Metropolis at annealed temperature must still
+    reach collision-free on the config-1 scene."""
+    cfg = _cfg(mode="chomp", learning_rate=0.8, max_iterations=300,
+               weights=CostWeights(obstacle=5.0, smoothness=0.1),
+               use_hamiltonian_monte_carlo=True,
+               hmc_step_size=0.3, hmc_leapfrog_steps=3, hmc_temperature=0.05)
+    robot = model.planar_2r(body_radius=0.05)
+    sol = plan(robot, _world(), ProblemSpec(q0=Q0, qN=QN), cfg,
+               key=jax.random.PRNGKey(5))
+    assert bool(sol.success), "CHOMP-HMC did not reach collision-free"
+    # endpoints never move (A.10): leapfrog acts on interior waypoints only
+    np.testing.assert_allclose(np.asarray(sol.trajectory[0]), Q0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sol.trajectory[-1]), QN, atol=1e-6)
+
+
 def test_obstacle_cost_decreases_and_collision_resolves():
     """Total cost may legitimately rise (the detour buys collision freedom at
     smoothness expense) — the obstacle cost must fall and a collision-free

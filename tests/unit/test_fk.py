@@ -76,3 +76,39 @@ def test_fk_vmaps_over_waypoints():
     assert xs.shape == (16, robot.num_bodies, 3)
     x0 = body_positions(robot, qs[3])
     np.testing.assert_allclose(np.asarray(xs[3]), np.asarray(x0), atol=1e-6)
+
+
+def test_prismatic_body_motion_and_jacobian():
+    """Bodies on a prismatic link translate with q; J matches FD (A.11).
+
+    Regression: fk_frames used to emit the PRE-joint-motion origin, so a
+    sphere attached to a prismatic link never moved with that joint while
+    its Jacobian column (axis_w) claimed it did.
+    """
+    robot = model._spec(
+        joint_axis=[[0, 0, 1], [1, 0, 0], [0, 0, 1]],
+        joint_offset=[[0, 0, 0], [0.5, 0, 0], [0.3, 0, 0]],
+        joint_rot=model._eye(3),
+        lower=[-3.0, 0.0, -3.0], upper=[3.0, 0.6, 3.0],
+        limited=[True, True, True],
+        joint_type=[model.REVOLUTE, model.PRISMATIC, model.REVOLUTE],
+        body_link=[0, 1, 2],
+        body_offset=[[0.25, 0, 0], [0.1, 0, 0], [0.2, 0, 0]],
+        body_radius=[0.05, 0.05, 0.05],
+    )
+    q = jnp.asarray([0.3, 0.25, -0.7], jnp.float32)
+    # the prismatic joint must translate its own body along the (rotated) x
+    x_a = np.asarray(body_positions(robot, q))
+    x_b = np.asarray(body_positions(robot, q.at[1].add(0.1)))
+    shift = x_b[1] - x_a[1]
+    axis_w = np.array([np.cos(0.3), np.sin(0.3), 0.0])
+    np.testing.assert_allclose(shift, 0.1 * axis_w, atol=1e-5)
+
+    x0, J = body_positions_and_jacobians(robot, q)
+    J = np.asarray(J)
+    h = 1e-3
+    for i in range(3):
+        dq = jnp.zeros(3).at[i].set(h)
+        xp = np.asarray(body_positions(robot, q + dq))
+        xm = np.asarray(body_positions(robot, q - dq))
+        np.testing.assert_allclose(J[:, :, i], (xp - xm) / (2 * h), atol=2e-3)

@@ -42,7 +42,65 @@ def test_supports_flags():
     world = AnalyticWorld.make(spheres=[((0, 0, 0), 0.1)])
     assert rp.supports(robot, world)
     prism = dataclasses.replace(robot, joint_type=jnp.asarray([1, 0]))
-    assert not rp.supports(prism, world)
+    assert rp.supports(prism, world)
     from tpustomp.world import edt
     grid = edt.signed_edt(np.ones((4, 4, 4), bool), 0.1, (0, 0, 0))
-    assert not rp.supports(robot, grid)
+    assert rp.supports(robot, grid)
+    assert not rp.supports(robot, object())
+
+
+def test_kernel_matches_xla_path_prismatic():
+    """RPR chain with a prismatic joint through the fused analytic kernel."""
+    robot = model._spec(
+        joint_axis=[[0, 0, 1], [1, 0, 0], [0, 1, 0]],
+        joint_offset=[[0, 0, 0.3], [0.4, 0, 0], [0.3, 0, 0]],
+        joint_rot=model._eye(3),
+        lower=[-3.0, 0.0, -3.0], upper=[3.0, 0.6, 3.0],
+        limited=[True, True, True],
+        joint_type=[model.REVOLUTE, model.PRISMATIC, model.REVOLUTE],
+        body_link=[0, 1, 2, 2],
+        body_offset=[[0.2, 0, 0], [0.1, 0, 0], [0.15, 0, 0], [0.3, 0, 0]],
+        body_radius=[0.06, 0.05, 0.05, 0.04],
+    )
+    world = AnalyticWorld.make(
+        spheres=[((0.5, 0.1, 0.4), 0.15)],
+        boxes=[((0.2, -0.3, 0.2), (0.2, 0.1, 0.2))])
+    T, C = 18, 10
+    dt, clearance = 0.05, 0.08
+    rng = np.random.default_rng(1)
+    cand = rng.uniform(-1.0, 1.0, (C, T, 3)).astype(np.float32)
+    cand[:, :, 1] = np.abs(cand[:, :, 1]) * 0.5   # prismatic extension >= 0
+
+    q_obs, margin = rp.obstacle_cost_batch_pallas(
+        robot, world, jnp.asarray(cand), dt, clearance, interpret=True)
+    for c in range(C):
+        q_ref, m_ref = obst.obstacle_cost(robot, world, jnp.asarray(cand[c]),
+                                          dt, clearance)
+        np.testing.assert_allclose(np.asarray(q_obs[c]), np.asarray(q_ref),
+                                   atol=2e-6)
+        assert abs(float(margin[c]) - float(m_ref)) < 1e-6
+
+
+def test_grid_hybrid_matches_xla_path():
+    """Grid worlds: fused kinematics kernel + XLA trilinear tail == XLA path."""
+    from tpustomp.world import edt
+
+    robot = model.arm_7dof()
+    analytic = AnalyticWorld.make(
+        boxes=[((0.6, 0.0, 0.2), (0.45, 0.6, 0.25))],
+        spheres=[((0.3, 0.3, 0.9), 0.1)])
+    grid = edt.grid_from_analytic(analytic, origin=(-0.5, -1.2, -0.4),
+                                  shape=(40, 44, 36), resolution=0.06)
+    T, C = 26, 12
+    dt, clearance = 0.05, 0.08
+    rng = np.random.default_rng(2)
+    cand = rng.uniform(-1.2, 1.2, (C, T, 7)).astype(np.float32)
+
+    q_obs, margin = rp.obstacle_cost_batch_pallas(
+        robot, grid, jnp.asarray(cand), dt, clearance, interpret=True)
+    for c in range(0, C, 3):
+        q_ref, m_ref = obst.obstacle_cost(robot, grid, jnp.asarray(cand[c]),
+                                          dt, clearance)
+        np.testing.assert_allclose(np.asarray(q_obs[c]), np.asarray(q_ref),
+                                   atol=2e-6, rtol=1e-5)
+        assert abs(float(margin[c]) - float(m_ref)) < 1e-6

@@ -30,8 +30,9 @@ from tpustomp.robot.model import RobotSpec
 
 def resolve_backend(cfg: PlannerConfig, robot, world) -> PlannerConfig:
     """Resolve obstacle_backend="auto" to a concrete backend: the fused
-    pallas kernel on TPU for analytic worlds with revolute chains, else the
-    XLA path (kernels/rollout_pallas.py)."""
+    pallas kernels on TPU (fully fused for analytic worlds; hybrid
+    FK-kernel + XLA gather for grid worlds), else the XLA path
+    (kernels/rollout_pallas.py)."""
     if cfg.obstacle_backend != "auto":
         return cfg
     from tpustomp.kernels import rollout_pallas

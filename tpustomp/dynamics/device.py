@@ -27,6 +27,8 @@ class DeviceOps:
     Rinv [N,N]: joint-limit projection columns.
     M [N,N]: update smoother (columns scaled to max 1/N).
     L_sample [N,N]: chol of the normalized sampling covariance.
+    cov_scale: the max|R⁻¹| normalizer (static float) — L L^T = R⁻¹/cov_scale;
+    the HMC kinetic-energy metric needs it to stay consistent with L_sample.
     """
 
     A_stack: jnp.ndarray
@@ -37,6 +39,7 @@ class DeviceOps:
     Rinv: jnp.ndarray
     M: jnp.ndarray
     L_sample: jnp.ndarray
+    cov_scale: float = struct.field(pytree_node=False, default=1.0)
 
 
 @functools.lru_cache(maxsize=64)
@@ -52,4 +55,5 @@ def device_ops(N: int, dt: float, cfg: SmoothnessConfig) -> DeviceOps:
         Rinv=jnp.asarray(ops.Rinv, f32),
         M=jnp.asarray(ops.M, f32),
         L_sample=jnp.asarray(ops.L_sample, f32),
+        cov_scale=float(ops.cov_scale),
     )

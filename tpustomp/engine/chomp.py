@@ -52,6 +52,20 @@ def obstacle_functional_gradient(robot: RobotSpec, world, full_traj: jnp.ndarray
     return g[1:-1]                                    # interior rows only
 
 
+def chomp_gradient(ops, robot: RobotSpec, world, theta: jnp.ndarray,
+                   q0: jnp.ndarray, qN: jnp.ndarray, full_traj: jnp.ndarray,
+                   dt: float, clearance: float, w_obstacle: float,
+                   w_smoothness: float,
+                   use_curvature: bool = True) -> jnp.ndarray:
+    """Raw functional gradient ∇U = w_o ∇q_obs + w_s (Rθ + R_bias q): [N, d].
+
+    Shared by the plain CHOMP update and the HMC leapfrog force term."""
+    g_obs = obstacle_functional_gradient(robot, world, full_traj, dt,
+                                         clearance, use_curvature)
+    g_smooth = smoothness_gradient(ops, theta, q0, qN)
+    return w_obstacle * g_obs + w_smoothness * g_smooth
+
+
 def chomp_delta(ops, robot: RobotSpec, world, theta: jnp.ndarray,
                 q0: jnp.ndarray, qN: jnp.ndarray, full_traj: jnp.ndarray,
                 dt: float, clearance: float, w_obstacle: float,
@@ -64,8 +78,6 @@ def chomp_delta(ops, robot: RobotSpec, world, theta: jnp.ndarray,
     which is what keeps the covariant update stable — STOMP's column-scaled M
     would destroy that exactness and diverge (A.11).
     """
-    g_obs = obstacle_functional_gradient(robot, world, full_traj, dt,
-                                         clearance, use_curvature)
-    g_smooth = smoothness_gradient(ops, theta, q0, qN)
-    grad = w_obstacle * g_obs + w_smoothness * g_smooth
+    grad = chomp_gradient(ops, robot, world, theta, q0, qN, full_traj, dt,
+                          clearance, w_obstacle, w_smoothness, use_curvature)
     return -learning_rate * (ops.Rinv @ grad)

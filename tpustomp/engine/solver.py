@@ -229,28 +229,67 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         # direction-preserving update cap (reference joint_update_limit)
         max_d = jnp.max(jnp.abs(delta))
         scale = jnp.minimum(1.0, cfg.chomp_joint_update_limit / (max_d + 1e-12))
-        extra = {}
-        if cfg.use_hamiltonian_monte_carlo:
-            # Stochastic exploration from the CHOMP-HMC lineage (reference
-            # flag use_hamiltonian_monte_carlo, SURVEY A.11 [L]): perturb with
-            # R⁻¹-metric momentum noise at temperature decaying over
-            # iterations. Simplified to momentum-resample-every-step (no
-            # leapfrog sub-integration — the M-preconditioned update already
-            # plays the role of the position step).
-            key, sub = jax.random.split(state.key)
-            temp = (cfg.hmc_temperature
-                    * jnp.power(jnp.float32(cfg.noise.decay),
-                                state.iteration.astype(jnp.float32)))
-            hmc_sigma = temp * jnp.ones((robot.num_joints,), jnp.float32)
-            delta = delta * scale + sample_noise(
-                sub, ops.L_sample, hmc_sigma * cfg.hmc_step_size, 1)[0]
-            theta_new = project(state.theta + delta)
-            extra = dict(key=key)
-        else:
-            theta_new = project(state.theta + scale * delta)
-        return finish(state, theta_new, extra)
+        theta_new = project(state.theta + scale * delta)
+        return finish(state, theta_new, {})
 
-    return stomp_step if cfg.mode == "stomp" else chomp_step
+    def chomp_hmc_step(state: SolverState) -> SolverState:
+        # Hamiltonian exploration from the CHOMP-HMC lineage (reference flag
+        # use_hamiltonian_monte_carlo, SURVEY A.11 [L]). Velocity-form
+        # leapfrog on H(θ, v) = U(θ) + ½ vᵀR v with the R-metric kinetic
+        # energy, so the position flow θ̇ = v stays in the span of smooth
+        # perturbations: v is sampled ~ N(0, temp·R⁻¹) (v = √temp·L z, the
+        # same smooth sampler STOMP uses) and the force is the
+        # R⁻¹-preconditioned functional gradient. One solver iteration = one
+        # HMC proposal of `hmc_leapfrog_steps` leapfrog steps + Metropolis
+        # accept at temperature temp (decaying over iterations), which keeps
+        # the chain valid while annealing toward pure descent.
+        from tpustomp.engine.chomp import chomp_gradient
+
+        eta = jnp.float32(cfg.hmc_step_size)
+        temp = (cfg.hmc_temperature
+                * jnp.power(jnp.float32(cfg.noise.decay),
+                            state.iteration.astype(jnp.float32)))
+        key, k_mom, k_acc = jax.random.split(state.key, 3)
+
+        def U(th):
+            return _evaluate(robot, world, constraints, cfg, ops, q0, qN,
+                             th)[3]
+
+        def gradU(th):
+            return chomp_gradient(ops, robot, world, th, q0, qN,
+                                  full_trajectory(th, q0, qN), cfg.dt,
+                                  cfg.collision_clearance,
+                                  cfg.weights.obstacle,
+                                  cfg.weights.smoothness)
+
+        def kinetic(v):
+            return 0.5 * jnp.sum(v * (ops.R @ v))
+
+        v0 = sample_noise(k_mom, ops.L_sample,
+                          jnp.sqrt(temp) * jnp.ones((robot.num_joints,),
+                                                    jnp.float32), 1)[0]
+        th0 = state.theta
+        H0 = U(th0) + kinetic(v0)
+
+        def leapfrog(_, carry):
+            th, v, g = carry
+            v = v - 0.5 * eta * (ops.Rinv @ g)
+            th = th + eta * v
+            g = gradU(th)
+            v = v - 0.5 * eta * (ops.Rinv @ g)
+            return th, v, g
+
+        th1, v1, _ = jax.lax.fori_loop(
+            0, cfg.hmc_leapfrog_steps, leapfrog, (th0, v0, gradU(th0)))
+        H1 = U(th1) + kinetic(v1)
+        accept = (jax.random.uniform(k_acc)
+                  < jnp.exp(-(H1 - H0) / jnp.maximum(temp, 1e-6)))
+        theta_new = project(jnp.where(accept, th1, th0))
+        return finish(state, theta_new, dict(key=key))
+
+    if cfg.mode == "stomp":
+        return stomp_step
+    return chomp_hmc_step if cfg.use_hamiltonian_monte_carlo else chomp_step
 
 
 def init_state(robot: RobotSpec, cfg: PlannerConfig, q0, qN,

@@ -1,17 +1,28 @@
-"""Fused rollout-evaluation Pallas kernel: FK → sphere bodies → SDF →
+"""Fused rollout-evaluation Pallas kernels: FK → sphere bodies → SDF →
 potential → velocity scaling → per-waypoint reduce, in one VMEM pass.
 
 Reference equivalent: the §4.4 hot loop (SURVEY) —
 ``StompOptimizer::performForwardKinematics`` + collision-point potential
 evaluation, the ~80-90% of reference wall time. SURVEY §8.1 anticipated this
-kernel (kernels/rollout_pallas.py); the XLA path remains the fallback
-(grid-SDF worlds, prismatic joints, CPU).
+kernel (kernels/rollout_pallas.py); the XLA path remains the fallback on CPU.
 
 Why Pallas: XLA evaluates the FK chain as ~20 fused elementwise kernels whose
 [C, T, 3x3] intermediates round-trip HBM. This kernel keeps the whole chain
 (frames, body positions, distances) in VMEM: HBM traffic drops to one read
 of the trajectories + one write of the cost rows. Measured (TPU v5e, 14336
 trajectories x 102 waypoints x 13 bodies): 27 ms vs 41 ms for the XLA path.
+
+Two kernels share the FK stage:
+  - ANALYTIC worlds (sphere/box primitives): the full chain through the
+    closed-form SDF, potential, and per-waypoint reduce runs in VMEM and
+    only two [C, T] cost rows leave the chip.
+  - GRID worlds (voxel SDF): Mosaic has no arbitrary per-element 2D gather
+    (only lane-axis `take_along_axis` lowers — measured), so the trilinear
+    lookup CANNOT live in the kernel. Hybrid split instead: the kernel fuses
+    FK → body positions + workspace speeds (the HBM-heavy stage: ~20x less
+    traffic than XLA's materialized frame chain) and writes one compact
+    [B, 4, C, T] tensor; XLA then does gather → trilinear → potential →
+    reduce, which it already fuses well (world/sdf.py).
 
 Layout: candidates tile over a grid; inside a tile every scalar field is a
 [tile, T] block (sublane = candidate, lane = waypoint), so frame algebra is
@@ -23,6 +34,11 @@ blow the 16 MB scoped-VMEM limit at useful tile sizes (measured: 44 MB at
 tile 64 unrolled vs ~4 MB rolled). Loop-carry inits are anchored to a loaded
 value (`mzero`) because splat-constant carries trip Mosaic's replicated-
 layout check.
+
+Joint types: revolute and prismatic both supported; the joint motion is a
+Rodrigues rotation blended to identity for prismatic joints plus a
+translation along the world-frame joint axis (matches robot/fk.py —
+post-joint-motion origins are what bodies ride on).
 
 Only SHAPES are static: robot and world parameters are traced SMEM inputs,
 so the kernel builder can be used inside jit with robot/world as arguments
@@ -40,22 +56,103 @@ TILE_C = 64  # candidates per tile (multiple of 8)
 
 
 def supports(robot, world) -> bool:
-    """Concrete-time check: can the pallas path evaluate this problem?"""
-    import numpy as np
+    """Concrete-time check: can the pallas path evaluate this problem?
 
-    from tpustomp.world.sdf import AnalyticWorld
+    Both world kinds are covered (analytic fully fused; grid via the hybrid
+    kinematics kernel) and both joint types; anything else (a custom world
+    class) falls back to XLA.
+    """
+    from tpustomp.world.sdf import AnalyticWorld, GridSDF
 
-    if not isinstance(world, AnalyticWorld):
-        return False
-    try:
-        return not np.any(np.asarray(robot.joint_type) != 0)
-    except Exception:
-        return False
+    return isinstance(world, (AnalyticWorld, GridSDF))
+
+
+def _fk_stage(d, type_ref, axis_ref, off_ref, rotf_ref, base_ref, cand_ref,
+              frames_ref, mzero):
+    """Rolled FK over the joint chain; frames staged to VMEM scratch.
+
+    frames_ref[j] holds (R row-major 0..8, p 9..11) of joint j's
+    post-joint-motion frame as [12, tile, T] fields.
+    """
+
+    def fk_body(j, carry):
+        p0, p1, p2, R = carry          # p fields + 9-tuple R
+        o0, o1, o2 = off_ref[j, 0], off_ref[j, 1], off_ref[j, 2]
+        p0 = p0 + R[0] * o0 + R[1] * o1 + R[2] * o2
+        p1 = p1 + R[3] * o0 + R[4] * o1 + R[5] * o2
+        p2 = p2 + R[6] * o0 + R[7] * o1 + R[8] * o2
+        # R <- R @ rot_fixed[j]
+        F = [rotf_ref[j, k] for k in range(9)]
+        R = tuple(R[3 * i + 0] * F[0 + c] + R[3 * i + 1] * F[3 + c]
+                  + R[3 * i + 2] * F[6 + c]
+                  for i in range(3) for c in range(3))
+        x, y, z = axis_ref[j, 0], axis_ref[j, 1], axis_ref[j, 2]
+        qj = cand_ref[j, :, :]
+        rev = jnp.where(type_ref[j] == 0, 1.0, 0.0)  # scalar blend factor
+        # prismatic: translate along the world-frame axis (R @ axis) by q_j
+        aw0 = R[0] * x + R[1] * y + R[2] * z
+        aw1 = R[3] * x + R[4] * y + R[5] * z
+        aw2 = R[6] * x + R[7] * y + R[8] * z
+        tq = (1.0 - rev) * qj
+        p0 = p0 + aw0 * tq
+        p1 = p1 + aw1 * tq
+        p2 = p2 + aw2 * tq
+        # revolute: R <- R @ rodrigues(axis[j], q_j); identity for prismatic
+        s, c = jnp.sin(qj), jnp.cos(qj)
+        oc = 1.0 - c
+        G = (c + x * x * oc, x * y * oc - z * s, x * z * oc + y * s,
+             y * x * oc + z * s, c + y * y * oc, y * z * oc - x * s,
+             z * x * oc - y * s, z * y * oc + x * s, c + z * z * oc)
+        eye = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+        G = tuple(rev * g + (1.0 - rev) * e for g, e in zip(G, eye))
+        R = tuple(R[3 * i + 0] * G[0 + cc] + R[3 * i + 1] * G[3 + cc]
+                  + R[3 * i + 2] * G[6 + cc]
+                  for i in range(3) for cc in range(3))
+        for k in range(9):
+            frames_ref[j, k, :, :] = R[k]
+        frames_ref[j, 9, :, :] = p0
+        frames_ref[j, 10, :, :] = p1
+        frames_ref[j, 11, :, :] = p2
+        return (p0, p1, p2, R)
+
+    init = (mzero + base_ref[9], mzero + base_ref[10],
+            mzero + base_ref[11],
+            tuple(mzero + base_ref[k] for k in range(9)))
+    jax.lax.fori_loop(0, d, fk_body, init)
+
+
+def _body_position(frames_ref, blink_ref, boff_ref, b):
+    """World position of sphere body b from the staged frames."""
+    link = blink_ref[b]
+    o0, o1, o2 = boff_ref[b, 0], boff_ref[b, 1], boff_ref[b, 2]
+    bx0 = (frames_ref[link, 9, :, :] + frames_ref[link, 0, :, :] * o0
+           + frames_ref[link, 1, :, :] * o1
+           + frames_ref[link, 2, :, :] * o2)
+    bx1 = (frames_ref[link, 10, :, :] + frames_ref[link, 3, :, :] * o0
+           + frames_ref[link, 4, :, :] * o1
+           + frames_ref[link, 5, :, :] * o2)
+    bx2 = (frames_ref[link, 11, :, :] + frames_ref[link, 6, :, :] * o0
+           + frames_ref[link, 7, :, :] * o1
+           + frames_ref[link, 8, :, :] * o2)
+    return bx0, bx1, bx2
+
+
+def _workspace_speed(bx, t_idx, T, inv2dt, mzero):
+    """‖ẋ_b(t)‖ via central differences over the lane (waypoint) axis."""
+    sp2 = mzero
+    for xi in bx:
+        fwd = pltpu.roll(xi, shift=T - 1, axis=1)  # fwd[t] = x[t+1]
+        bwd = pltpu.roll(xi, shift=1, axis=1)      # bwd[t] = x[t-1]
+        vi = (fwd - bwd) * inv2dt
+        vi = jnp.where(t_idx == 0, (fwd - xi) * (2.0 * inv2dt), vi)
+        vi = jnp.where(t_idx == T - 1, (xi - bwd) * (2.0 * inv2dt), vi)
+        sp2 = sp2 + vi * vi
+    return jnp.sqrt(sp2)
 
 
 def build_rollout_kernel(shapes, dt: float, clearance: float,
                          interpret: bool = False, tile_c: int | None = None):
-    """Build the fused evaluator for static `shapes` and (dt, clearance).
+    """Build the fully fused evaluator (ANALYTIC worlds).
 
     shapes: (d, n_bodies, n_spheres, n_boxes, T).
     Returns fn(cand_full [C, T, d], robot, world) ->
@@ -64,69 +161,27 @@ def build_rollout_kernel(shapes, dt: float, clearance: float,
     d, n_bodies, n_spheres, n_boxes, T = shapes
     tile = tile_c or TILE_C
 
-    def kernel(axis_ref, off_ref, rotf_ref, base_ref, blink_ref, boff_ref,
-               brad_ref, sph_ref, box_ref, cand_ref, q_obs_ref, margin_ref,
-               frames_ref):
-        # SMEM params: axis[d,3] off[d,3] rotf[d,9] base[12] blink[n_bodies]
-        #   boff[n_bodies,3] brad[n_bodies] sph[n_spheres,4] box[n_boxes,6]
+    def kernel(type_ref, axis_ref, off_ref, rotf_ref, base_ref, blink_ref,
+               boff_ref, brad_ref, sph_ref, box_ref, cand_ref, q_obs_ref,
+               margin_ref, frames_ref):
+        # SMEM params: type[d] axis[d,3] off[d,3] rotf[d,9] base[12]
+        #   blink[n_bodies] boff[n_bodies,3] brad[n_bodies]
+        #   sph[n_spheres,4] box[n_boxes,6]
         # cand_ref: [d, tile, T] VMEM (joint-major so the rolled loop indexes
-        # the leading dim); frames_ref: VMEM scratch [d, 12, tile, T]
-        # holding (R row-major 0..8, p 9..11) per joint.
+        # the leading dim); frames_ref: VMEM scratch [d, 12, tile, T].
         inv2dt = 1.0 / (2.0 * dt)
         t_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, T), 1)
         mzero = cand_ref[0, :, :] * 0.0
 
-        # ---- FK: rolled loop over joints, frames staged to scratch ----
-        def fk_body(j, carry):
-            p0, p1, p2, R = carry          # p fields + 9-tuple R
-            o0, o1, o2 = off_ref[j, 0], off_ref[j, 1], off_ref[j, 2]
-            p0 = p0 + R[0] * o0 + R[1] * o1 + R[2] * o2
-            p1 = p1 + R[3] * o0 + R[4] * o1 + R[5] * o2
-            p2 = p2 + R[6] * o0 + R[7] * o1 + R[8] * o2
-            # R <- R @ rot_fixed[j]
-            F = [rotf_ref[j, k] for k in range(9)]
-            R = tuple(R[3 * i + 0] * F[0 + c] + R[3 * i + 1] * F[3 + c]
-                      + R[3 * i + 2] * F[6 + c]
-                      for i in range(3) for c in range(3))
-            # R <- R @ rodrigues(axis[j], q_j)
-            x, y, z = axis_ref[j, 0], axis_ref[j, 1], axis_ref[j, 2]
-            qj = cand_ref[j, :, :]
-            s, c = jnp.sin(qj), jnp.cos(qj)
-            oc = 1.0 - c
-            G = (c + x * x * oc, x * y * oc - z * s, x * z * oc + y * s,
-                 y * x * oc + z * s, c + y * y * oc, y * z * oc - x * s,
-                 z * x * oc - y * s, z * y * oc + x * s, c + z * z * oc)
-            R = tuple(R[3 * i + 0] * G[0 + cc] + R[3 * i + 1] * G[3 + cc]
-                      + R[3 * i + 2] * G[6 + cc]
-                      for i in range(3) for cc in range(3))
-            for k in range(9):
-                frames_ref[j, k, :, :] = R[k]
-            frames_ref[j, 9, :, :] = p0
-            frames_ref[j, 10, :, :] = p1
-            frames_ref[j, 11, :, :] = p2
-            return (p0, p1, p2, R)
-
-        init = (mzero + base_ref[9], mzero + base_ref[10],
-                mzero + base_ref[11],
-                tuple(mzero + base_ref[k] for k in range(9)))
-        jax.lax.fori_loop(0, d, fk_body, init)
+        _fk_stage(d, type_ref, axis_ref, off_ref, rotf_ref, base_ref,
+                  cand_ref, frames_ref, mzero)
 
         # ---- cost: rolled loop over bodies reading staged frames ----
         def body_fn(b, carry):
             q_obs, margin = carry
-            link = blink_ref[b]
-            o0, o1, o2 = boff_ref[b, 0], boff_ref[b, 1], boff_ref[b, 2]
+            bx = _body_position(frames_ref, blink_ref, boff_ref, b)
+            bx0, bx1, bx2 = bx
             radius = brad_ref[b]
-            bx0 = (frames_ref[link, 9, :, :] + frames_ref[link, 0, :, :] * o0
-                   + frames_ref[link, 1, :, :] * o1
-                   + frames_ref[link, 2, :, :] * o2)
-            bx1 = (frames_ref[link, 10, :, :] + frames_ref[link, 3, :, :] * o0
-                   + frames_ref[link, 4, :, :] * o1
-                   + frames_ref[link, 5, :, :] * o2)
-            bx2 = (frames_ref[link, 11, :, :] + frames_ref[link, 6, :, :] * o0
-                   + frames_ref[link, 7, :, :] * o1
-                   + frames_ref[link, 8, :, :] * o2)
-            bx = (bx0, bx1, bx2)
 
             def sphere_fn(sidx, dist):
                 r0 = bx0 - sph_ref[sidx, 0]
@@ -152,17 +207,7 @@ def build_rollout_kernel(shapes, dt: float, clearance: float,
             if n_boxes:
                 dist = jax.lax.fori_loop(0, n_boxes, box_fn, dist)
 
-            sp2 = mzero
-            for i in range(3):
-                xi = bx[i]
-                fwd = pltpu.roll(xi, shift=T - 1, axis=1)  # fwd[t] = x[t+1]
-                bwd = pltpu.roll(xi, shift=1, axis=1)      # bwd[t] = x[t-1]
-                vi = (fwd - bwd) * inv2dt
-                vi = jnp.where(t_idx == 0, (fwd - xi) * (2.0 * inv2dt), vi)
-                vi = jnp.where(t_idx == T - 1, (xi - bwd) * (2.0 * inv2dt), vi)
-                sp2 = sp2 + vi * vi
-            speed = jnp.sqrt(sp2)
-
+            speed = _workspace_speed(bx, t_idx, T, inv2dt, mzero)
             d_sig = dist - radius - clearance
             pot = jnp.where(
                 d_sig < 0.0, -d_sig + 0.5 * clearance,
@@ -193,7 +238,7 @@ def build_rollout_kernel(shapes, dt: float, clearance: float,
         return pl.pallas_call(
             kernel,
             grid=(C // tile,),
-            in_specs=[smem] * 9 + [
+            in_specs=[smem] * 10 + [
                 pl.BlockSpec((d, tile, T), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)],
             out_specs=[
@@ -206,7 +251,8 @@ def build_rollout_kernel(shapes, dt: float, clearance: float,
                        jax.ShapeDtypeStruct((C, T), f32)],
             scratch_shapes=[pltpu.VMEM((d, 12, tile, T), f32)],
             interpret=interpret,
-        )(robot.joint_axis.astype(f32), robot.joint_offset.astype(f32),
+        )(robot.joint_type.astype(jnp.int32), robot.joint_axis.astype(f32),
+          robot.joint_offset.astype(f32),
           robot.joint_rot.reshape(d, 9).astype(f32), base,
           robot.body_link.astype(jnp.int32), robot.body_offset.astype(f32),
           robot.body_radius.astype(f32), sph, box, cand_jm)
@@ -214,15 +260,117 @@ def build_rollout_kernel(shapes, dt: float, clearance: float,
     return fn
 
 
+def build_kinematics_kernel(shapes, dt: float, interpret: bool = False,
+                            tile_c: int | None = None):
+    """Build the fused FK→(body positions, speeds) evaluator (GRID worlds).
+
+    shapes: (d, n_bodies, T). Returns fn(cand_full [C, T, d], robot) ->
+    kin [B, 4, C, T] where kin[:, :3] are world xyz of each sphere body and
+    kin[:, 3] is ‖ẋ_b(t)‖. The SDF gather + potential stay in XLA (module
+    docstring: Mosaic has no arbitrary 2D gather).
+    """
+    d, n_bodies, T = shapes
+    tile = tile_c or TILE_C
+
+    def kernel(type_ref, axis_ref, off_ref, rotf_ref, base_ref, blink_ref,
+               boff_ref, cand_ref, kin_ref, frames_ref):
+        inv2dt = 1.0 / (2.0 * dt)
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, T), 1)
+        mzero = cand_ref[0, :, :] * 0.0
+
+        _fk_stage(d, type_ref, axis_ref, off_ref, rotf_ref, base_ref,
+                  cand_ref, frames_ref, mzero)
+
+        def body_fn(b, _):
+            bx = _body_position(frames_ref, blink_ref, boff_ref, b)
+            kin_ref[b, 0, :, :] = bx[0]
+            kin_ref[b, 1, :, :] = bx[1]
+            kin_ref[b, 2, :, :] = bx[2]
+            kin_ref[b, 3, :, :] = _workspace_speed(bx, t_idx, T, inv2dt,
+                                                   mzero)
+            return 0
+
+        jax.lax.fori_loop(0, n_bodies, body_fn, 0)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def fn(cand_full: jnp.ndarray, robot):
+        C = cand_full.shape[0]
+        assert C % tile == 0, f"pad candidate count to {tile} (got {C})"
+        f32 = jnp.float32
+        base = jnp.concatenate([robot.base_rot.reshape(9),
+                                robot.base_pos.reshape(3)]).astype(f32)
+        cand_jm = jnp.transpose(cand_full.astype(f32), (2, 0, 1))
+        return pl.pallas_call(
+            kernel,
+            grid=(C // tile,),
+            in_specs=[smem] * 7 + [
+                pl.BlockSpec((d, tile, T), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((n_bodies, 4, tile, T),
+                                   lambda i: (0, 0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_bodies, 4, C, T), f32),
+            scratch_shapes=[pltpu.VMEM((d, 12, tile, T), f32)],
+            interpret=interpret,
+        )(robot.joint_type.astype(jnp.int32), robot.joint_axis.astype(f32),
+          robot.joint_offset.astype(f32),
+          robot.joint_rot.reshape(d, 9).astype(f32), base,
+          robot.body_link.astype(jnp.int32), robot.body_offset.astype(f32),
+          cand_jm)
+
+    return fn
+
+
+def _grid_finish(world, kin, dt: float, clearance: float, body_radius):
+    """XLA tail of the hybrid grid path: trilinear SDF → potential → reduce.
+
+    kin: [B, 4, C, T] from the kinematics kernel. Returns
+    (q_obs [C, T], margin_row [C, T]). Matches costs/obstacle.py numerics.
+    """
+    from tpustomp.world.sdf import _grid_sample
+
+    pos = jnp.moveaxis(kin[:, :3], 1, -1)            # [B, C, T, 3]
+    speed = kin[:, 3]                                # [B, C, T]
+    dist, _ = _grid_sample(world, pos)               # [B, C, T]
+    radius = body_radius[:, None, None]
+    d_sig = dist - radius - clearance
+    pot = jnp.where(
+        d_sig < 0.0, -d_sig + 0.5 * clearance,
+        jnp.where(d_sig <= clearance,
+                  (d_sig - clearance) ** 2 / (2.0 * clearance), 0.0))
+    q_obs = jnp.sum(pot * speed, axis=0) * dt        # [C, T]
+    margin_row = jnp.min(dist - radius, axis=0)      # [C, T]
+    return q_obs, margin_row
+
+
 def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
                                dt: float, clearance: float,
                                interpret: bool = False, tile_c=None):
-    """Batched obstacle cost via the fused kernel, with transparent padding.
+    """Batched obstacle cost via the fused kernels, with transparent padding.
 
     full_trajs: [C, T, d] -> (q_obs [C, T], margin [C]). Shapes are read from
-    the (possibly traced) arrays; values stay traced.
+    the (possibly traced) arrays; values stay traced. Analytic worlds run
+    fully fused; grid worlds run the hybrid kinematics kernel + XLA gather.
     """
+    from tpustomp.world.sdf import GridSDF
+
     C, T, d = full_trajs.shape
+    tile = tile_c or TILE_C
+    pad = (-C) % tile
+    padded = jnp.concatenate(
+        [full_trajs, jnp.broadcast_to(full_trajs[:1], (pad, T, d))], axis=0) \
+        if pad else full_trajs
+
+    if isinstance(world, GridSDF):
+        shapes = (d, robot.body_link.shape[0], T)
+        fn = build_kinematics_kernel(shapes, dt, interpret=interpret,
+                                     tile_c=tile)
+        kin = fn(padded, robot)
+        q_obs, margin_row = _grid_finish(world, kin, dt, clearance,
+                                         robot.body_radius.astype(jnp.float32))
+        return q_obs[:C], jnp.min(margin_row[:C], axis=1)
+
     # zero-length SMEM operands break Mosaic layout verification; pad empty
     # primitive sets with one far-away sentinel (min() ignores it)
     if world.sphere_radius.shape[0] == 0:
@@ -236,11 +384,6 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
     shapes = (d, robot.body_link.shape[0], world.sphere_radius.shape[0],
               world.box_half.shape[0], T)
     fn = build_rollout_kernel(shapes, dt, clearance, interpret=interpret,
-                              tile_c=tile_c)
-    tile = tile_c or TILE_C
-    pad = (-C) % tile
-    padded = jnp.concatenate(
-        [full_trajs, jnp.broadcast_to(full_trajs[:1], (pad, T, d))], axis=0) \
-        if pad else full_trajs
+                              tile_c=tile)
     q_obs, margin_row = fn(padded, robot, world)
     return q_obs[:C], jnp.min(margin_row[:C], axis=1)

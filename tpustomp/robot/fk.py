@@ -66,8 +66,12 @@ def fk_frames(robot: RobotSpec, q: jnp.ndarray):
         axis_w = _mat_vec(R_mid, axis)
         is_prism = (jtype == PRISMATIC)
         R_new = jnp.where(is_prism, R_mid, _mat_mul(R_mid, rodrigues(axis, qi)))
+        # Emit the POST-joint-motion origin: identical to p_j for revolute
+        # joints (rotation fixes the origin), but for prismatic joints the
+        # link frame must carry the translation so that bodies attached to
+        # the link move with q (matches the prismatic Jacobian column below).
         p_new = jnp.where(is_prism, p_j + axis_w * qi, p_j)
-        return (p_new, R_new), (p_j, R_new, axis_w)
+        return (p_new, R_new), (p_new, R_new, axis_w)
 
     init = (robot.base_pos.astype(q.dtype), robot.base_rot.astype(q.dtype))
     xs = (robot.joint_type, robot.joint_axis.astype(q.dtype),

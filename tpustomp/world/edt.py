@@ -60,9 +60,7 @@ def grid_from_analytic(world: AnalyticWorld, origin, shape,
     """Exact SDF grid of a primitive world (voxel centers sampled)."""
     pts = _voxel_centers(np.asarray(origin, np.float64), shape, resolution)
     grid = _analytic_sdf_np(world, pts).astype(np.float32)
-    return GridSDF(grid=jnp.asarray(grid),
-                   origin=jnp.asarray(origin, jnp.float32),
-                   resolution=jnp.float32(resolution))
+    return GridSDF.make(grid, origin, resolution)
 
 
 def occupancy_from_analytic(world: AnalyticWorld, origin, shape,
@@ -118,6 +116,4 @@ def signed_edt(occ: np.ndarray, resolution: float, origin) -> GridSDF:
     signed = np.where(occ, -d_in, d_out) * resolution
     signed = np.where(np.isfinite(signed), signed,
                       np.sign(signed) * 1e6).astype(np.float32)
-    return GridSDF(grid=jnp.asarray(signed),
-                   origin=jnp.asarray(origin, jnp.float32),
-                   resolution=jnp.float32(resolution))
+    return GridSDF.make(signed, origin, resolution)
