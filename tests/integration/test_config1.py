@@ -138,13 +138,15 @@ def test_chomp_mode_converges():
     assert bool(sol.success), "CHOMP did not reach collision-free"
 
 
-def test_chomp_hmc_mode_converges():
+@pytest.mark.parametrize("metropolis", [False, True])
+def test_chomp_hmc_mode_converges(metropolis):
     """CHOMP with Hamiltonian exploration (reference use_hamiltonian_monte_carlo):
-    velocity-form leapfrog + Metropolis at annealed temperature must still
-    reach collision-free on the config-1 scene."""
+    velocity-form leapfrog (annealed, trust-region capped by default;
+    Metropolis-corrected optionally) must still reach collision-free on the
+    config-1 scene."""
     cfg = _cfg(mode="chomp", learning_rate=0.8, max_iterations=300,
                weights=CostWeights(obstacle=5.0, smoothness=0.1),
-               use_hamiltonian_monte_carlo=True,
+               use_hamiltonian_monte_carlo=True, hmc_metropolis=metropolis,
                hmc_step_size=0.3, hmc_leapfrog_steps=3, hmc_temperature=0.05)
     robot = model.planar_2r(body_radius=0.05)
     sol = plan(robot, _world(), ProblemSpec(q0=Q0, qN=QN), cfg,

@@ -121,6 +121,13 @@ class PlannerConfig:
     hmc_step_size: float = 0.01
     hmc_leapfrog_steps: int = 10
     hmc_temperature: float = 1.0
+    # Metropolis-correct the HMC proposals. Off by default: the reference
+    # lineage's flag was heuristic exploration (momentum resampling, no
+    # accept test), and exact HMC over N·d dims with a stiff contact
+    # potential rejects nearly everything at useful step sizes (measured:
+    # 0/125 on the 7-DOF suite). When off, every leapfrog position step is
+    # trust-region capped like the plain CHOMP update.
+    hmc_metropolis: bool = False
 
     # --- costs ----------------------------------------------------------
     weights: CostWeights = field(default_factory=CostWeights)

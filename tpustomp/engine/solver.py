@@ -235,17 +235,22 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     def chomp_hmc_step(state: SolverState) -> SolverState:
         # Hamiltonian exploration from the CHOMP-HMC lineage (reference flag
         # use_hamiltonian_monte_carlo, SURVEY A.11 [L]). Velocity-form
-        # leapfrog on H(θ, v) = U(θ) + ½ vᵀR v with the R-metric kinetic
-        # energy, so the position flow θ̇ = v stays in the span of smooth
-        # perturbations: v is sampled ~ N(0, temp·R⁻¹) (v = √temp·L z, the
-        # same smooth sampler STOMP uses) and the force is the
-        # R⁻¹-preconditioned functional gradient. One solver iteration = one
-        # HMC proposal of `hmc_leapfrog_steps` leapfrog steps + Metropolis
-        # accept at temperature temp (decaying over iterations), which keeps
-        # the chain valid while annealing toward pure descent.
+        # leapfrog with mass matrix A = c·R where c = ops.cov_scale, chosen
+        # so the velocity distribution N(0, temp·A⁻¹) = N(0, temp·R⁻¹/c) is
+        # EXACTLY what the smooth sampler draws (v = √temp·L z with
+        # L Lᵀ = R⁻¹/c) — the position flow θ̇ = v stays in the span of
+        # smooth perturbations. Consistency matters: with A = R instead, the
+        # force term A⁻¹∇U is c-times too strong relative to the sampled
+        # velocity, proposals explode, and Metropolis rejects everything
+        # (observed: 0/125 success on the 7-DOF suite before this fix).
+        # Kinetic energy K = ½ vᵀA v = (c/2)·Σ v·(R v). One solver iteration
+        # = one HMC proposal of `hmc_leapfrog_steps` leapfrog steps +
+        # Metropolis accept at temperature temp (decaying over iterations),
+        # annealing toward pure descent.
         from tpustomp.engine.chomp import chomp_gradient
 
         eta = jnp.float32(cfg.hmc_step_size)
+        inv_mass = jnp.float32(1.0 / ops.cov_scale)
         temp = (cfg.hmc_temperature
                 * jnp.power(jnp.float32(cfg.noise.decay),
                             state.iteration.astype(jnp.float32)))
@@ -263,28 +268,37 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                                   cfg.weights.smoothness)
 
         def kinetic(v):
-            return 0.5 * jnp.sum(v * (ops.R @ v))
+            return 0.5 * jnp.float32(ops.cov_scale) * jnp.sum(v * (ops.R @ v))
 
         v0 = sample_noise(k_mom, ops.L_sample,
                           jnp.sqrt(temp) * jnp.ones((robot.num_joints,),
                                                     jnp.float32), 1)[0]
         th0 = state.theta
-        H0 = U(th0) + kinetic(v0)
 
         def leapfrog(_, carry):
             th, v, g = carry
-            v = v - 0.5 * eta * (ops.Rinv @ g)
-            th = th + eta * v
+            v = v - (0.5 * eta * inv_mass) * (ops.Rinv @ g)
+            dth = eta * v
+            if not cfg.hmc_metropolis:
+                # heuristic mode: trust-region cap each position step, like
+                # the plain CHOMP update (no accept test to preserve)
+                max_d = jnp.max(jnp.abs(dth))
+                dth = dth * jnp.minimum(
+                    1.0, cfg.chomp_joint_update_limit / (max_d + 1e-12))
+            th = th + dth
             g = gradU(th)
-            v = v - 0.5 * eta * (ops.Rinv @ g)
+            v = v - (0.5 * eta * inv_mass) * (ops.Rinv @ g)
             return th, v, g
 
         th1, v1, _ = jax.lax.fori_loop(
             0, cfg.hmc_leapfrog_steps, leapfrog, (th0, v0, gradU(th0)))
-        H1 = U(th1) + kinetic(v1)
-        accept = (jax.random.uniform(k_acc)
-                  < jnp.exp(-(H1 - H0) / jnp.maximum(temp, 1e-6)))
-        theta_new = project(jnp.where(accept, th1, th0))
+        if cfg.hmc_metropolis:
+            H0 = U(th0) + kinetic(v0)
+            H1 = U(th1) + kinetic(v1)
+            accept = (jax.random.uniform(k_acc)
+                      < jnp.exp(-(H1 - H0) / jnp.maximum(temp, 1e-6)))
+            th1 = jnp.where(accept, th1, th0)
+        theta_new = project(th1)
         return finish(state, theta_new, dict(key=key))
 
     if cfg.mode == "stomp":

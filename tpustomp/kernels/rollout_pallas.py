@@ -150,6 +150,18 @@ def _workspace_speed(bx, t_idx, T, inv2dt, mzero):
     return jnp.sqrt(sp2)
 
 
+def _compiler_params(d, tile, T):
+    """Raise the scoped-VMEM cap when the frames scratch needs it.
+
+    The default 16 MB limit fits tile<=128 at d=7, T=102; bigger tiles are
+    legal on v5e (physical VMEM is far larger) but need an explicit cap.
+    """
+    need = (d * 12 + d + 16) * tile * T * 4  # scratch + cand + in/out blocks
+    if need <= 14 * 2**20:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(need * 1.5))
+
+
 def build_rollout_kernel(shapes, dt: float, clearance: float,
                          interpret: bool = False, tile_c: int | None = None):
     """Build the fully fused evaluator (ANALYTIC worlds).
@@ -250,6 +262,7 @@ def build_rollout_kernel(shapes, dt: float, clearance: float,
             out_shape=[jax.ShapeDtypeStruct((C, T), f32),
                        jax.ShapeDtypeStruct((C, T), f32)],
             scratch_shapes=[pltpu.VMEM((d, 12, tile, T), f32)],
+            compiler_params=_compiler_params(d, tile, T),
             interpret=interpret,
         )(robot.joint_type.astype(jnp.int32), robot.joint_axis.astype(f32),
           robot.joint_offset.astype(f32),
@@ -312,6 +325,7 @@ def build_kinematics_kernel(shapes, dt: float, interpret: bool = False,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_bodies, 4, C, T), f32),
             scratch_shapes=[pltpu.VMEM((d, 12, tile, T), f32)],
+            compiler_params=_compiler_params(d, tile, T),
             interpret=interpret,
         )(robot.joint_type.astype(jnp.int32), robot.joint_axis.astype(f32),
           robot.joint_offset.astype(f32),
