@@ -121,6 +121,12 @@ def main():
     details = {"replan_latency_config2": res, "device": str(dev)}
     if os.environ.get("BENCH_FULL") == "1":
         details["throughput_config4"] = throughput()
+        try:
+            from bench.experiment_suite import run_suite
+            details["experiment_suite_25"] = run_suite(
+                n=25, modes=("stomp", "chomp"))
+        except Exception as e:  # pragma: no cover
+            log(f"experiment suite skipped: {e}")
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
     print(json.dumps({

@@ -36,6 +36,27 @@ def test_kernel_matches_xla_path(robot_name):
         assert abs(float(margin[c]) - float(m_ref)) < 1e-6
 
 
+def test_unrolled_matches_rolled_fallback():
+    """The scratch-free unrolled kernel (static body partition) and the
+    rolled/staged fallback must agree exactly."""
+    import dataclasses
+
+    robot = model.arm_7dof()
+    assert robot.body_counts is not None
+    rolled_robot = dataclasses.replace(robot, body_counts=None)
+    world = AnalyticWorld.make(
+        boxes=[((0.6, 0.0, 0.2), (0.45, 0.6, 0.25))],
+        spheres=[((0.3, 0.3, 0.9), 0.1)])
+    rng = np.random.default_rng(7)
+    cand = jnp.asarray(rng.uniform(-1.2, 1.2, (16, 22, 7)), jnp.float32)
+    q_u, m_u = rp.obstacle_cost_batch_pallas(robot, world, cand, 0.05, 0.08,
+                                             interpret=True)
+    q_r, m_r = rp.obstacle_cost_batch_pallas(rolled_robot, world, cand,
+                                             0.05, 0.08, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q_u), np.asarray(q_r))
+    np.testing.assert_array_equal(np.asarray(m_u), np.asarray(m_r))
+
+
 def test_supports_flags():
     import dataclasses
     robot = model.planar_2r()
@@ -50,11 +71,19 @@ def test_supports_flags():
 
 
 def test_kernel_matches_xla_path_prismatic():
-    """RPR chain with a prismatic joint through the fused analytic kernel."""
+    """RPR chain with a prismatic joint AND non-identity fixed rotations
+    through the fused analytic kernel (exercises the un-skipped rot_fixed
+    multiply — built-ins all have rot_fixed_identity=True)."""
+    from tpustomp.robot.fk import rodrigues
+    import jax.numpy as _jnp
+
+    rots = np.stack([
+        np.asarray(rodrigues(_jnp.asarray([0.0, 0.0, 1.0]), _jnp.float32(a)))
+        for a in (0.3, -0.5, 0.2)])
     robot = model._spec(
         joint_axis=[[0, 0, 1], [1, 0, 0], [0, 1, 0]],
         joint_offset=[[0, 0, 0.3], [0.4, 0, 0], [0.3, 0, 0]],
-        joint_rot=model._eye(3),
+        joint_rot=rots,
         lower=[-3.0, 0.0, -3.0], upper=[3.0, 0.6, 3.0],
         limited=[True, True, True],
         joint_type=[model.REVOLUTE, model.PRISMATIC, model.REVOLUTE],

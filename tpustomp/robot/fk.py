@@ -62,7 +62,10 @@ def fk_frames(robot: RobotSpec, q: jnp.ndarray):
         p, R = carry
         jtype, axis, offset, rot_fixed, qi = inp
         p_j = p + _mat_vec(R, offset)
-        R_mid = _mat_mul(R, rot_fixed)
+        # static skip (RobotSpec.rot_fixed_identity, computed at
+        # construction): identity fixed rotations are the common case and
+        # the 3x3 multiply is pure VPU waste
+        R_mid = R if robot.rot_fixed_identity else _mat_mul(R, rot_fixed)
         axis_w = _mat_vec(R_mid, axis)
         is_prism = (jtype == PRISMATIC)
         R_new = jnp.where(is_prism, R_mid, _mat_mul(R_mid, rodrigues(axis, qi)))
