@@ -32,3 +32,34 @@ def test_cli_config2_grid(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0
     assert out["success"] is True
+
+
+def test_cli_config4_batch(capsys):
+    """BASELINE config 4 from the CLI: sharded scenario batch."""
+    rc = main([os.path.join(CONFIGS, "config4_batch.yaml"),
+               "--scenarios", "8"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["num_scenarios"] == 8
+    assert out["success_rate"] > 0.5
+
+
+def test_cli_config5_mpc(capsys):
+    """BASELINE config 5 from the CLI: moving-obstacle MPC loop (tiny)."""
+    import yaml
+
+    path = os.path.join(CONFIGS, "config5_mpc.yaml")
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    doc["mpc"]["ticks"] = 10
+    small = os.path.join(os.path.dirname(__file__), "_cfg5_small.yaml")
+    with open(small, "w") as f:
+        yaml.safe_dump(doc, f)
+    try:
+        rc = main([small, "--scenarios", "8"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert out["scenarios"] == 8 and out["ticks"] == 10
+        assert 0.0 <= out["collision_rate"] <= 1.0
+    finally:
+        os.remove(small)

@@ -4,12 +4,16 @@ Reference equivalent (SURVEY §2 L7): `stomp_planner_node` launched with a
 YAML param file, serving GetMotionPlan. Here:
 
     python -m tpustomp configs/config2_tabletop.yaml [--mode chomp]
-        [--seed 0] [--viz] [--grid]
+        [--seed 0] [--viz] [--grid] [--scenarios N]
 
 reads a config file containing `planner:` (PlannerConfig fields) and
-`scene:` (robot, primitives, q0/qN), runs one plan, and prints a JSON result
-line. `--grid` voxelizes the scene through the signed-EDT pipeline instead
-of the analytic SDF.
+`scene:` (robot, primitives, q0/qN; the config-2 tabletop scene is the
+default when absent), runs one plan, and prints a JSON result line.
+`--grid` voxelizes the scene through the signed-EDT pipeline instead of the
+analytic SDF. A `batch:` section (BASELINE config 4) switches to a sharded
+scenario batch; an `mpc:` section (config 5) runs the moving-obstacle
+replanning loop; `--scenarios` overrides their scenario counts for quick
+runs.
 """
 
 from __future__ import annotations
@@ -20,6 +24,15 @@ import sys
 import time
 
 import numpy as np
+
+
+_DEFAULT_SCENE = {  # BASELINE config-2 tabletop (bench/common.py)
+    "robot": "arm_7dof",
+    "boxes": [{"center": [0.6, 0.0, 0.2], "half": [0.45, 0.6, 0.25]},
+              {"center": [0.68, -0.05, 0.62], "half": [0.06, 0.06, 0.18]}],
+    "q0": [-0.6, 0.5, 0.0, -0.8, 0.0, -0.5, 0.0],
+    "qN": [0.4, 0.5, 0.0, -0.8, 0.0, -0.5, 0.0],
+}
 
 
 def _build_scene(scene: dict, use_grid: bool):
@@ -64,6 +77,14 @@ def main(argv=None):
                    help="use the voxel signed-EDT world instead of analytic")
     p.add_argument("--timed", action="store_true",
                    help="enforce planning_time_limit (plan_timed)")
+    def positive_int(v):
+        n = int(v)
+        if n <= 0:
+            raise argparse.ArgumentTypeError("must be a positive integer")
+        return n
+
+    p.add_argument("--scenarios", type=positive_int, default=None,
+                   help="override batch:/mpc: scenario count (quick runs)")
     args = p.parse_args(argv)
 
     import yaml
@@ -80,7 +101,13 @@ def main(argv=None):
         cfg = cfg.replace(mode=args.mode)
     if args.viz:
         cfg = cfg.replace(animate_path=True)
-    robot, world, q0, qN = _build_scene(doc["scene"], args.grid)
+    robot, world, q0, qN = _build_scene(doc.get("scene", _DEFAULT_SCENE),
+                                        args.grid)
+
+    if "batch" in doc:
+        return _run_batch(doc, robot, world, q0, qN, cfg, args)
+    if "mpc" in doc:
+        return _run_mpc(doc, robot, world, q0, qN, cfg, args)
 
     t0 = time.perf_counter()
     runner = plan_timed if args.timed else plan
@@ -97,6 +124,98 @@ def main(argv=None):
     }
     print(json.dumps(out))
     return 0 if out["success"] else 1
+
+
+def _run_batch(doc, robot, world, q0, qN, cfg, args):
+    """BASELINE config 4: sharded scenario batch around the scene problem."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpustomp.api.problem import ProblemSpec
+    from tpustomp.engine import distributed
+
+    spec = doc["batch"]
+    n = (args.scenarios if args.scenarios is not None
+         else int(spec.get("scenarios_per_chip", 256)))
+    jitter = float(spec.get("start_goal_jitter", 0.03))
+    rng = np.random.default_rng(args.seed)
+    d = q0.shape[0]
+    q0b = (np.tile(q0, (n, 1))
+           + rng.uniform(-jitter, jitter, (n, d))).astype(np.float32)
+    qNb = (np.tile(qN, (n, 1))
+           + rng.uniform(-jitter, jitter, (n, d))).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), n)
+    t0 = time.perf_counter()
+    sol = distributed.plan_sharded(robot, world,
+                                   ProblemSpec(q0=q0b, qN=qNb), cfg,
+                                   keys=keys)
+    jax.block_until_ready(sol.trajectory)
+    wall = time.perf_counter() - t0
+    out = distributed.summarize(sol)
+    out.update(wall_seconds=round(wall, 3),
+               solves_per_sec_incl_compile=round(n / wall, 1),
+               device=str(jax.devices()[0]))
+    print(json.dumps(out))
+    return 0 if out["success_rate"] > 0.5 else 1
+
+
+def _run_mpc(doc, robot, world, q0, qN, cfg, args):
+    """BASELINE config 5: moving-obstacle MPC replanning loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpustomp.engine import mpc as mpc_mod
+    from tpustomp.world.sdf import AnalyticWorld
+
+    if not isinstance(world, AnalyticWorld):
+        raise SystemExit("mpc: requires an analytic scene (moving obstacles)")
+    spec = doc["mpc"]
+    n = (args.scenarios if args.scenarios is not None
+         else int(spec.get("scenarios", 64)))
+    ticks = int(spec.get("ticks", 50))
+    world_dt = float(spec.get("world_dt", 0.1))
+    speed = float(spec.get("obstacle_speed", 0.2))
+    rng = np.random.default_rng(args.seed)
+    d = q0.shape[0]
+    # one moving sphere per scenario, launched toward the workspace center
+    S = max(1, world.sphere_center.shape[0])
+    centers = np.tile(np.asarray([[0.9, 0.6, 0.5]], np.float32), (S, 1)) \
+        if world.sphere_center.shape[0] == 0 else np.asarray(
+            world.sphere_center, np.float32)
+    radius = np.full((S,), 0.12, np.float32) \
+        if world.sphere_radius.shape[0] == 0 else np.asarray(
+            world.sphere_radius, np.float32)
+
+    def one_state(i):
+        key = jax.random.PRNGKey(args.seed + i)
+        vel = rng.normal(0, 1, (S, 3))
+        vel = speed * vel / np.linalg.norm(vel, axis=-1, keepdims=True)
+        jq0 = q0 + rng.uniform(-0.02, 0.02, d).astype(np.float32)
+        jqN = qN + rng.uniform(-0.02, 0.02, d).astype(np.float32)
+        return mpc_mod.init_mpc(robot, cfg, jq0, jqN, centers,
+                                vel.astype(np.float32), key)
+
+    states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[one_state(i) for i in range(n)])
+    t0 = time.perf_counter()
+    out_state = mpc_mod.run_mpc_sharded(robot, cfg, states,
+                                        jnp.asarray(radius), ticks, world_dt)
+    jax.block_until_ready(out_state.q)
+    wall = time.perf_counter() - t0
+    goal_dist = np.linalg.norm(np.asarray(out_state.q - out_state.qN),
+                               axis=-1)
+    out = {
+        "scenarios": n,
+        "ticks": ticks,
+        "collision_rate": float(np.mean(np.asarray(out_state.collided))),
+        "mean_goal_distance": float(goal_dist.mean()),
+        "reached_rate_0.2rad": float((goal_dist < 0.2).mean()),
+        "wall_seconds": round(wall, 3),
+        "replans_per_sec_incl_compile": round(n * ticks / wall, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+    return 0 if out["collision_rate"] < 0.5 else 1
 
 
 if __name__ == "__main__":
