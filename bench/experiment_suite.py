@@ -122,7 +122,7 @@ def sample_problems(robot, world, n, clearance=0.03, seed=0,
 
 
 def run_suite(n=125, seed=0, scenes=("tabletop", "shelf"),
-              modes=("stomp", "chomp", "chomp-hmc")):
+              modes=("stomp", "stomp-r4", "chomp", "chomp-hmc")):
     import time
 
     from tpustomp.api.plan import plan_batch
@@ -139,14 +139,17 @@ def run_suite(n=125, seed=0, scenes=("tabletop", "shelf"),
         for mode in modes:
             from tpustomp.api.config import CostWeights
 
-            if mode == "stomp":
+            if mode.startswith("stomp"):
                 # stddev 0.12 swept on the shelf scene: 0.976 success vs
                 # 0.904 at the config-2 default 0.08 (hard problems need
                 # wider exploration; the reference decays per-joint stddev
-                # the same way)
+                # the same way). "stomp-r4" adds 4 parallel restarts per
+                # problem (num_restarts — the TPU answer to the reference's
+                # "call the service again with a new seed").
                 from tpustomp.api.config import NoiseConfig
                 cfg = config2_cfg(
                     max_iterations=150,
+                    num_restarts=4 if mode == "stomp-r4" else 1,
                     noise=NoiseConfig(stddev=0.12, decay=0.995,
                                       num_rollouts_reused=5))
             else:

@@ -89,6 +89,13 @@ class PlannerConfig:
     # loop is compiled with a fixed max trip count; this limit is enforced by
     # the host-side replan loop (api/plan.py) between device steps.
     planning_time_limit: float = 10.0
+    # Independent restarts per query (fresh noise stream each), best solution
+    # kept — successful first, then lowest cost. The reference-era answer to
+    # a failed plan was to call the service again with a new seed; on TPU the
+    # restarts are one extra vmap axis and run concurrently, so this is the
+    # idiomatic way to buy success rate with parallel hardware rather than
+    # wall-clock (see solver.solve_best_of). 1 = reference behavior.
+    num_restarts: int = 1
 
     # --- STOMP (PI^2) ---------------------------------------------------
     num_rollouts: int = 10          # K new noisy rollouts per iteration

@@ -45,7 +45,8 @@ def resolve_backend(cfg: PlannerConfig, robot, world) -> PlannerConfig:
 @functools.lru_cache(maxsize=32)
 def _jitted_solve(cfg: PlannerConfig, has_constraints: bool):
     def run(robot, world, constraints, ops, q0, qN, key):
-        return solver.solve(robot, world, constraints, cfg, ops, q0, qN, key)
+        return solver.solve_best_of(robot, world, constraints, cfg, ops,
+                                    q0, qN, key)
 
     return jax.jit(run)
 
@@ -54,8 +55,8 @@ def _jitted_solve(cfg: PlannerConfig, has_constraints: bool):
 def _jitted_solve_batch(cfg: PlannerConfig, has_constraints: bool):
     def run(robot, world, constraints, ops, q0, qN, keys):
         return jax.vmap(
-            lambda a, b, k: solver.solve(robot, world, constraints, cfg, ops,
-                                         a, b, k)
+            lambda a, b, k: solver.solve_best_of(robot, world, constraints,
+                                                 cfg, ops, a, b, k)
         )(q0, qN, keys)
 
     return jax.jit(run)

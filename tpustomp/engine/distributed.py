@@ -65,8 +65,8 @@ def _sharded_solve(cfg: PlannerConfig, mesh: Mesh, has_constraints: bool):
 
     def run(robot, world, constraints, ops, q0, qN, keys):
         return jax.vmap(
-            lambda a, b, k: solver.solve(robot, world, constraints, cfg, ops,
-                                         a, b, k)
+            lambda a, b, k: solver.solve_best_of(robot, world, constraints,
+                                                 cfg, ops, a, b, k)
         )(q0, qN, keys)
 
     return jax.jit(

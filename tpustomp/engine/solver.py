@@ -378,3 +378,32 @@ def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     state = run_until(robot, world, constraints, cfg, ops, q0, qN, state,
                       jnp.int32(cfg.max_iterations))
     return finalize(robot, world, constraints, cfg, ops, q0, qN, state)
+
+
+def select_best(sols: Solution) -> Solution:
+    """Pick one Solution from a leading restart axis: any successful one
+    beats every failed one; ties broken by lowest total cost."""
+    cost = jnp.minimum(sols.cost, jnp.float32(1e18))
+    score = jnp.where(sols.success, cost, cost + jnp.float32(1e20))
+    idx = jnp.argmin(score)
+    return jax.tree.map(lambda x: x[idx], sols)
+
+
+def solve_best_of(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
+                  ops: DeviceOps, q0: jnp.ndarray, qN: jnp.ndarray,
+                  key: jax.Array, theta0: jnp.ndarray | None = None
+                  ) -> Solution:
+    """`solve` with `cfg.num_restarts` independent noise streams, best kept.
+
+    The reference planner's recourse after a failed plan was to call the
+    `GetMotionPlan` service again with a fresh seed; here the restarts are a
+    vmapped axis evaluated concurrently on-chip, so extra attempts cost
+    parallelism (which the chip has idle at batch 1) instead of latency.
+    """
+    if cfg.num_restarts <= 1:
+        return solve(robot, world, constraints, cfg, ops, q0, qN, key, theta0)
+    keys = jax.random.split(key, cfg.num_restarts)
+    sols = jax.vmap(
+        lambda k: solve(robot, world, constraints, cfg, ops, q0, qN, k,
+                        theta0))(keys)
+    return select_best(sols)
