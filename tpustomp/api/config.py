@@ -122,6 +122,9 @@ class PlannerConfig:
     # rescaled, not clipped per-element, to preserve its direction.
     # (Reference lineage: ChompParameters joint_update_limit.)
     chomp_joint_update_limit: float = 0.1
+    # Map workspace gradients through the damped Jacobian pseudo-inverse
+    # J^T (J J^T + ridge I)^-1 instead of plain J^T (reference knobs,
+    # SURVEY §7.3; engine/chomp.py). STOMP mode ignores both.
     use_pseudo_inverse: bool = False
     pseudo_inverse_ridge_factor: float = 1e-4
     use_hamiltonian_monte_carlo: bool = False  # reference flag; off (SURVEY A.11 [L])

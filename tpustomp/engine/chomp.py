@@ -24,10 +24,49 @@ from tpustomp.world.sdf import sdf_grad
 _SPEED_EPS = 1e-6
 
 
+def _dls_solve3(J: jnp.ndarray, b: jnp.ndarray, ridge: float) -> jnp.ndarray:
+    """(J Jᵀ + ridge·I)⁻¹ b for J: [..., 3, d], b: [..., 3] → [..., 3].
+
+    Closed-form symmetric 3×3 solve (adjugate/det) in explicit multiply-add —
+    a batched ``linalg.solve`` would lower tiny LU factorizations onto padded
+    MXU tiles (docs/PERFORMANCE.md finding 4).
+    """
+    G = jnp.sum(J[..., :, None, :] * J[..., None, :, :], axis=-1)
+    a = G[..., 0, 0] + ridge
+    p = G[..., 0, 1]
+    q = G[..., 0, 2]
+    d = G[..., 1, 1] + ridge
+    r = G[..., 1, 2]
+    f = G[..., 2, 2] + ridge
+    # adjugate of the symmetric matrix [[a,p,q],[p,d,r],[q,r,f]]
+    A = d * f - r * r
+    B = q * r - p * f
+    C = p * r - q * d
+    D = a * f - q * q
+    E = p * q - a * r
+    F = a * d - p * p
+    det = a * A + p * B + q * C
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    y0 = (A * b0 + B * b1 + C * b2) / det
+    y1 = (B * b0 + D * b1 + E * b2) / det
+    y2 = (C * b0 + E * b1 + F * b2) / det
+    return jnp.stack([y0, y1, y2], axis=-1)
+
+
 def obstacle_functional_gradient(robot: RobotSpec, world, full_traj: jnp.ndarray,
                                  dt: float, clearance: float,
-                                 use_curvature: bool = True) -> jnp.ndarray:
-    """∇_θ q_obs at the interior waypoints: [N, d] (A.11)."""
+                                 use_curvature: bool = True,
+                                 use_pseudo_inverse: bool = False,
+                                 pinv_ridge: float = 1e-4) -> jnp.ndarray:
+    """∇_θ q_obs at the interior waypoints: [N, d] (A.11).
+
+    ``use_pseudo_inverse`` maps each body's workspace term through the damped
+    Jacobian pseudo-inverse J⁺ = Jᵀ(JJᵀ + ridge·I)⁻¹ instead of plain Jᵀ —
+    the reference's ``use_pseudo_inverse`` / ``pseudo_inverse_ridge_factor``
+    knobs (SURVEY §7.3): the update then follows the joint motion that
+    *realizes* the workspace displacement rather than the force map, which
+    equalizes step size across well- and poorly-conditioned arm poses.
+    """
     x, J = body_pos_jac_traj(robot, full_traj)        # [T,B,3], [T,B,3,d]
     vel = workspace_velocity(x, dt)                   # [T,B,3]
     speed = jnp.linalg.norm(vel, axis=-1)             # [T,B]
@@ -46,6 +85,9 @@ def obstacle_functional_gradient(robot: RobotSpec, world, full_traj: jnp.ndarray
     else:
         ws = pd[..., None] * grad_d * speed[..., None] * dt
 
+    if use_pseudo_inverse:
+        ws = _dls_solve3(J, ws, pinv_ridge)           # (JJᵀ+λI)⁻¹ ws
+
     # explicit multiply-add instead of einsum: the contraction dims (B, 3)
     # are tiny, so dot lowering would pad onto the MXU tile for nothing
     g = jnp.sum(ws[..., None] * J, axis=(1, 2))       # [T, d]
@@ -56,12 +98,15 @@ def chomp_gradient(ops, robot: RobotSpec, world, theta: jnp.ndarray,
                    q0: jnp.ndarray, qN: jnp.ndarray, full_traj: jnp.ndarray,
                    dt: float, clearance: float, w_obstacle: float,
                    w_smoothness: float,
-                   use_curvature: bool = True) -> jnp.ndarray:
+                   use_curvature: bool = True,
+                   use_pseudo_inverse: bool = False,
+                   pinv_ridge: float = 1e-4) -> jnp.ndarray:
     """Raw functional gradient ∇U = w_o ∇q_obs + w_s (Rθ + R_bias q): [N, d].
 
     Shared by the plain CHOMP update and the HMC leapfrog force term."""
     g_obs = obstacle_functional_gradient(robot, world, full_traj, dt,
-                                         clearance, use_curvature)
+                                         clearance, use_curvature,
+                                         use_pseudo_inverse, pinv_ridge)
     g_smooth = smoothness_gradient(ops, theta, q0, qN)
     return w_obstacle * g_obs + w_smoothness * g_smooth
 
@@ -70,7 +115,9 @@ def chomp_delta(ops, robot: RobotSpec, world, theta: jnp.ndarray,
                 q0: jnp.ndarray, qN: jnp.ndarray, full_traj: jnp.ndarray,
                 dt: float, clearance: float, w_obstacle: float,
                 w_smoothness: float, learning_rate: float,
-                use_curvature: bool = True) -> jnp.ndarray:
+                use_curvature: bool = True,
+                use_pseudo_inverse: bool = False,
+                pinv_ridge: float = 1e-4) -> jnp.ndarray:
     """One CHOMP update direction: −η·R⁻¹·(w_o ∇q_obs + w_s (Rθ + R_bias q)).
 
     The R⁻¹ preconditioner makes the smoothness part an exact Newton step
@@ -79,5 +126,6 @@ def chomp_delta(ops, robot: RobotSpec, world, theta: jnp.ndarray,
     would destroy that exactness and diverge (A.11).
     """
     grad = chomp_gradient(ops, robot, world, theta, q0, qN, full_traj, dt,
-                          clearance, w_obstacle, w_smoothness, use_curvature)
+                          clearance, w_obstacle, w_smoothness, use_curvature,
+                          use_pseudo_inverse, pinv_ridge)
     return -learning_rate * (ops.Rinv @ grad)

@@ -225,7 +225,9 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         delta = chomp_delta(ops, robot, world, state.theta, q0, qN, full,
                             cfg.dt, cfg.collision_clearance,
                             cfg.weights.obstacle, cfg.weights.smoothness,
-                            cfg.learning_rate)
+                            cfg.learning_rate,
+                            use_pseudo_inverse=cfg.use_pseudo_inverse,
+                            pinv_ridge=cfg.pseudo_inverse_ridge_factor)
         # direction-preserving update cap (reference joint_update_limit)
         max_d = jnp.max(jnp.abs(delta))
         scale = jnp.minimum(1.0, cfg.chomp_joint_update_limit / (max_d + 1e-12))
@@ -265,7 +267,9 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                                   full_trajectory(th, q0, qN), cfg.dt,
                                   cfg.collision_clearance,
                                   cfg.weights.obstacle,
-                                  cfg.weights.smoothness)
+                                  cfg.weights.smoothness,
+                                  use_pseudo_inverse=cfg.use_pseudo_inverse,
+                                  pinv_ridge=cfg.pseudo_inverse_ridge_factor)
 
         def kinetic(v):
             return 0.5 * jnp.float32(ops.cov_scale) * jnp.sum(v * (ops.R @ v))
