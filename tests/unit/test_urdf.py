@@ -95,3 +95,125 @@ def test_ambiguous_root_raises():
     bad = "<robot><link name='a'/><link name='b'/></robot>"
     with pytest.raises(ValueError):
         load_urdf(bad)
+
+
+# ---------------------------------------------------------------------------
+# mesh collision geometry (STL / OBJ → PCA sphere cover)
+
+_BOX_TRIS = [  # 12 triangles of an axis-aligned box [0,0.6]x[0,0.1]x[0,0.1]
+    ((0, 0, 0), (sx, sy, sz))
+    for sx, sy, sz in [(1, 1, 0)]
+]
+
+
+def _box_vertices(lx=0.6, ly=0.1, lz=0.1):
+    return np.array([(x, y, z) for x in (0, lx) for y in (0, ly)
+                     for z in (0, lz)], np.float64)
+
+
+def _box_triangles(lx=0.6, ly=0.1, lz=0.1):
+    v = _box_vertices(lx, ly, lz)
+    idx = [(0, 1, 2), (1, 3, 2), (4, 6, 5), (5, 6, 7),  # x faces
+           (0, 4, 1), (1, 4, 5), (2, 3, 6), (3, 7, 6),  # y faces
+           (0, 2, 4), (2, 6, 4), (1, 5, 3), (3, 5, 7)]  # z faces
+    return v[np.array(idx)]
+
+
+def _write_binary_stl(path, tris):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            f.write(np.zeros(3, "<f4").tobytes())
+            f.write(np.asarray(t, "<f4").tobytes())
+            f.write(struct.pack("<H", 0))
+
+
+def _write_ascii_stl(path, tris):
+    with open(path, "w") as f:
+        f.write("solid mesh\n")
+        for t in tris:
+            f.write(" facet normal 0 0 0\n  outer loop\n")
+            for v in t:
+                f.write(f"   vertex {v[0]} {v[1]} {v[2]}\n")
+            f.write("  endloop\n endfacet\n")
+        f.write("endsolid mesh\n")
+
+
+def _write_obj(path, tris):
+    with open(path, "w") as f:
+        for t in tris:
+            for v in t:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+
+
+def _assert_covers(spheres, pts, slack=1e-6):
+    c = np.array([s[0] for s in spheres])
+    r = np.array([s[1] for s in spheres])
+    d = np.linalg.norm(pts[:, None, :] - c[None], axis=-1)
+    assert np.all((d <= r[None] + slack).any(axis=1)), "vertex not covered"
+
+
+@pytest.mark.parametrize("writer,ext", [(_write_binary_stl, "stl"),
+                                        (_write_ascii_stl, "stl"),
+                                        (_write_obj, "obj")])
+def test_mesh_sphere_cover_formats(tmp_path, writer, ext):
+    from tpustomp.robot.urdf_lite import _load_mesh_points, _spheres_from_points
+
+    tris = _box_triangles()
+    path = str(tmp_path / f"link.{ext}")
+    writer(path, tris)
+    pts = _load_mesh_points(path, np.ones(3))
+    # all 8 corners present, all samples within the box bounds
+    corners = _box_vertices()
+    d = np.linalg.norm(pts[None] - corners[:, None], axis=-1)
+    assert np.all(d.min(axis=1) < 1e-6)
+    assert np.all(pts >= -1e-6) and np.all(pts <= [0.6 + 1e-6, 0.1 + 1e-6,
+                                                   0.1 + 1e-6])
+    spheres = _spheres_from_points(pts)
+    # STL facets are densified -> several spheres along the long axis;
+    # OBJ is a bare vertex cloud (8 corners -> 2 occupied slices)
+    assert len(spheres) >= (3 if ext == "stl" else 2)
+    _assert_covers(spheres, pts)
+    assert max(s[1] for s in spheres) < 0.35  # not one giant ball
+
+
+def test_urdf_mesh_collision_geometry(tmp_path):
+    _write_binary_stl(str(tmp_path / "arm.stl"), _box_triangles())
+    urdf = """
+    <robot name="meshbot">
+      <link name="base"/>
+      <link name="arm">
+        <collision>
+          <origin xyz="0 0 0.05" rpy="0 0 0"/>
+          <geometry><mesh filename="package://meshbot/arm.stl"
+                          scale="1 1 1"/></geometry>
+        </collision>
+      </link>
+      <joint name="j1" type="revolute">
+        <parent link="base"/><child link="arm"/>
+        <origin xyz="0 0 0"/><axis xyz="0 0 1"/>
+        <limit lower="-3" upper="3"/>
+      </joint>
+    </robot>
+    """
+    spec = load_urdf(urdf, mesh_dir=str(tmp_path))
+    assert spec.num_bodies >= 3
+    # all bodies attach to the single moving joint and cover the mesh verts
+    pos = np.asarray(body_positions(spec, jnp.zeros(1)))
+    _assert_covers(list(zip(pos, np.asarray(spec.body_radius))),
+                   _box_vertices() + np.array([0.0, 0.0, 0.05]))
+
+
+def test_urdf_mesh_missing_file_raises(tmp_path):
+    urdf = """
+    <robot name="m"><link name="base"/><link name="a">
+      <collision><geometry><mesh filename="nope.stl"/></geometry></collision>
+    </link>
+    <joint name="j" type="revolute"><parent link="base"/><child link="a"/>
+      <axis xyz="0 0 1"/><limit lower="-1" upper="1"/></joint></robot>
+    """
+    with pytest.raises(FileNotFoundError):
+        load_urdf(urdf, mesh_dir=str(tmp_path))

@@ -13,7 +13,10 @@ Scope (deliberately "lite", host-side, never in the hot path):
   - collision geometry → sphere bodies: spheres are exact for <sphere>,
     sampled along the axis for <cylinder>/<capsule>, and along the longest
     axis for <box> (radius = half the smaller cross-section), mirroring the
-    reference's sphere-per-link approximation.
+    reference's sphere-per-link approximation;
+  - <mesh> (binary/ASCII STL and OBJ): vertex cloud covered by bounding
+    spheres strung along its PCA major axis (every vertex inside a sphere
+    by construction); package:// paths resolved against ``mesh_dir``.
 """
 
 from __future__ import annotations
@@ -84,7 +87,101 @@ def _parse_inertial(el):
     return mass, com, I
 
 
-def _spheres_from_geometry(geom_el, xyz, rot, spacing_factor=1.0):
+def _densify_triangles(tris, h, max_n=16):
+    """Surface-sample triangles on a barycentric grid of pitch ≤ h: [P, 3].
+
+    Vertex clouds alone under-cover large facets (a box is 8 points); the
+    sphere fit needs points *on* the surface between them.
+    """
+    out = [tris.reshape(-1, 3)]
+    edge = np.linalg.norm(np.roll(tris, -1, axis=1) - tris, axis=2).max(axis=1)
+    for (a, b, c), e in zip(tris, edge):
+        n = min(max_n, int(np.ceil(e / h)))
+        if n <= 1:
+            continue
+        i, j = np.mgrid[0:n + 1, 0:n + 1]
+        m = (i + j) <= n
+        u, v = i[m] / n, j[m] / n
+        out.append(a + np.outer(u, b - a) + np.outer(v, c - a))
+    return np.concatenate(out, axis=0)
+
+
+def _load_mesh_points(path, scale):
+    """Surface point cloud of an STL (binary or ASCII) or OBJ mesh, [P, 3].
+
+    Minimal offline loaders (not in any hot path). Binary STL is detected by
+    the 84 + 50·n_triangles size invariant, which is robust against binary
+    files whose 80-byte header happens to start with "solid". STL facets are
+    densified (barycentric grid); OBJ contributes its vertices only.
+    """
+    import os
+    import struct
+
+    raw = open(path, "rb").read()
+    ext = os.path.splitext(path)[1].lower()
+    pts = tris = None
+    if ext == ".obj":
+        pts = [np.fromstring(ln[2:], sep=" ")[:3]
+               for ln in raw.decode("utf-8", "ignore").splitlines()
+               if ln.startswith("v ")]
+        pts = np.asarray(pts, np.float64)
+    elif len(raw) >= 84:
+        (n_tri,) = struct.unpack("<I", raw[80:84])
+        if len(raw) == 84 + 50 * n_tri:      # binary STL
+            body = np.frombuffer(raw[84:], dtype=np.uint8)
+            tri = body.reshape(n_tri, 50)[:, :48].copy().view("<f4")
+            tris = tri.reshape(n_tri, 4, 3)[:, 1:].astype(np.float64)
+    if pts is None and tris is None:          # ASCII STL
+        vs = [np.fromstring(ln.strip()[7:], sep=" ")
+              for ln in raw.decode("utf-8", "ignore").splitlines()
+              if ln.strip().startswith("vertex ")]
+        if len(vs) % 3 == 0 and vs:
+            tris = np.asarray(vs, np.float64).reshape(-1, 3, 3)
+        else:
+            pts = np.asarray(vs, np.float64)
+    if tris is not None:
+        tris = tris * np.asarray(scale, np.float64)
+        lo, hi = tris.reshape(-1, 3).min(axis=0), tris.reshape(-1, 3).max(axis=0)
+        h = max(float(np.linalg.norm(hi - lo)) / 10.0, 1e-6)
+        return _densify_triangles(tris, h)
+    if pts is None or pts.size == 0:
+        raise ValueError(f"no vertices parsed from mesh {path!r}")
+    return pts * np.asarray(scale, np.float64)
+
+
+def _spheres_from_points(pts, spacing_factor=1.0):
+    """Cover a vertex cloud with spheres strung along its principal axis.
+
+    Same reduction the reference applies to every link (spheres along the
+    link, StompRobotModel::generateCollisionPoints): slice the cloud into
+    segments along its PCA major axis, one bounding sphere per slice. Every
+    input vertex is inside some sphere by construction.
+    """
+    centroid = pts.mean(axis=0)
+    centered = pts - centroid
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    axis = vt[0]
+    t = centered @ axis                        # coordinates along the axis
+    cross_r = np.sqrt(np.maximum(
+        (centered ** 2).sum(axis=1) - t ** 2, 0.0)).max()
+    length = t.max() - t.min()
+    n = max(1, int(np.ceil(length / (2 * max(cross_r, 1e-9)
+                                     * spacing_factor))))
+    out = []
+    edges = np.linspace(t.min() - 1e-12, t.max() + 1e-12, n + 1)
+    for i in range(n):
+        m = (t >= edges[i]) & (t <= edges[i + 1])
+        if not np.any(m):
+            continue
+        seg = pts[m]
+        c = seg.mean(axis=0)
+        r = float(np.linalg.norm(seg - c, axis=1).max())
+        out.append((c, max(r, 1e-6)))
+    return out
+
+
+def _spheres_from_geometry(geom_el, xyz, rot, spacing_factor=1.0,
+                           mesh_dir=None):
     """Approximate one collision geometry by spheres (link frame)."""
     out = []
     sph = geom_el.find("sphere")
@@ -113,11 +210,34 @@ def _spheres_from_geometry(geom_el, xyz, rot, spacing_factor=1.0):
             t = (i + 0.5) / n - 0.5
             out.append((xyz + axis * t * size[longest], r))
         return out
-    return out  # meshes: unsupported in lite parser (reference uses spheres too)
+    mesh = geom_el.find("mesh")
+    if mesh is not None:
+        import os
+
+        fname = mesh.get("filename", "")
+        # URDF meshes use package://pkg/rel/path or plain relative paths;
+        # without a ROS package index, resolve against mesh_dir (falling
+        # back to the basename — flat mesh directories are the common case)
+        rel = fname.split("package://", 1)[-1]
+        candidates = [rel]
+        if mesh_dir is not None:
+            candidates = [os.path.join(mesh_dir, rel),
+                          os.path.join(mesh_dir, os.path.basename(rel)), rel]
+        path = next((p for p in candidates if os.path.isfile(p)), None)
+        if path is None:
+            raise FileNotFoundError(
+                f"mesh {fname!r} not found (searched {candidates}); pass "
+                "mesh_dir= to load_urdf")
+        scale = np.fromstring(mesh.get("scale", "1 1 1"), sep=" ")
+        pts = _load_mesh_points(path, scale)
+        pts = pts @ rot.T + xyz               # mesh frame → link frame
+        return _spheres_from_points(pts, spacing_factor)
+    return out  # unknown geometry: skip (reference uses spheres too)
 
 
 def load_urdf(xml_text: str, root: str | None = None, tip: str | None = None,
-              sphere_spacing: float = 1.0) -> RobotSpec:
+              sphere_spacing: float = 1.0,
+              mesh_dir: str | None = None) -> RobotSpec:
     """Parse a URDF string into a serial-chain RobotSpec (root → tip)."""
     doc = ET.fromstring(xml_text)
     links: dict[str, _Link] = {}
@@ -129,7 +249,8 @@ def load_urdf(xml_text: str, root: str | None = None, tip: str | None = None,
             gel = cel.find("geometry")
             if gel is not None:
                 link.spheres += _spheres_from_geometry(gel, xyz, rot,
-                                                       sphere_spacing)
+                                                       sphere_spacing,
+                                                       mesh_dir)
         links[link.name] = link
 
     joints: dict[str, _Joint] = {}
@@ -240,5 +361,8 @@ def load_urdf(xml_text: str, root: str | None = None, tip: str | None = None,
 
 
 def load_urdf_file(path: str, **kw) -> RobotSpec:
+    import os
+
+    kw.setdefault("mesh_dir", os.path.dirname(os.path.abspath(path)))
     with open(path) as f:
         return load_urdf(f.read(), **kw)
