@@ -66,3 +66,70 @@ def test_mpc_sharded_matches_vmap():
     np.testing.assert_array_equal(np.asarray(out_local.collided),
                                   np.asarray(out_shard.collided))
     assert len(out_shard.q.sharding.device_set) == 8
+
+
+def _batched_states(robot, cfg, B, seed=1):
+    rng = np.random.default_rng(seed)
+    centers = np.tile([[2.4, -0.6, 0.0]], (B, 1, 1)).astype(np.float32)
+    centers += rng.uniform(-0.1, 0.1, centers.shape).astype(np.float32)
+    vels = np.tile([[-0.15, 0.25, 0.0]], (B, 1, 1)).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+    return jax.vmap(
+        lambda c, v, k: mpc.init_mpc(robot, cfg, Q0, QN, c, v, k)
+    )(jnp.asarray(centers), jnp.asarray(vels), keys)
+
+
+def test_mpc_resilient_recovers_injected_shard_failure():
+    """SURVEY §6 failure-recovery row: a shard whose results come back
+    corrupted (dead device / numerical blowup) is re-dispatched from the
+    last good snapshot, and the recovered run matches a fault-free run."""
+    robot = model.planar_2r(body_radius=0.05)
+    cfg = _cfg()
+    B = 8
+    radius = np.asarray([0.25], np.float32)
+
+    clean = mpc.run_mpc_resilient(robot, cfg, _batched_states(robot, cfg, B),
+                                  radius, num_ticks=6, world_dt=0.1,
+                                  mesh=make_mesh(), chunk_ticks=3)
+
+    hits = []
+
+    def fault(chunk_idx, out):
+        # kill scenarios 2 and 5 in the first chunk (as a dead shard would:
+        # their buffers never land -> non-finite)
+        if chunk_idx == 0:
+            hits.append(chunk_idx)
+            out.theta[2] = np.nan
+            out.q[5] = np.nan
+        return out
+
+    rec = mpc.run_mpc_resilient(robot, cfg, _batched_states(robot, cfg, B),
+                                radius, num_ticks=6, world_dt=0.1,
+                                mesh=make_mesh(), chunk_ticks=3,
+                                _fault_hook=fault)
+    assert hits == [0], "fault hook should fire once (first chunk)"
+    assert np.all(np.isfinite(np.asarray(rec.theta)))
+    np.testing.assert_allclose(np.asarray(rec.q), np.asarray(clean.q),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(rec.theta),
+                               np.asarray(clean.theta), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(rec.collided),
+                                  np.asarray(clean.collided))
+
+
+def test_mpc_resilient_gives_up_on_persistent_failure():
+    """A scenario that fails deterministically (here: NaN already in its
+    state, so every re-dispatch reproduces it) must raise, not loop."""
+    robot = model.planar_2r(body_radius=0.05)
+    cfg = _cfg()
+    radius = np.asarray([0.25], np.float32)
+    states = _batched_states(robot, cfg, 8)
+    th = np.array(states.theta)
+    th[1, 0, 0] = np.nan  # poisons q_next -> the replan -> every re-dispatch
+    states = states.replace(theta=jnp.asarray(th))
+
+    import pytest
+    with pytest.raises(RuntimeError, match=r"scenarios \[1\].*unhealthy"):
+        mpc.run_mpc_resilient(robot, cfg, states, radius, num_ticks=3,
+                              world_dt=0.1, mesh=make_mesh(), chunk_ticks=3,
+                              max_retries=1)

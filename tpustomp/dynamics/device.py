@@ -10,6 +10,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -46,6 +47,14 @@ class DeviceOps:
 def device_ops(N: int, dt: float, cfg: SmoothnessConfig) -> DeviceOps:
     ops = build_operators(N, dt, cfg)
     f32 = np.float32
+    # The cache must never hold tracers: if the first call for a given key
+    # happens inside a jit/vmap trace, jnp.asarray would yield traced
+    # constants that leak into every later dispatch (UnexpectedTracerError).
+    with jax.ensure_compile_time_eval():
+        return _device_ops_arrays(ops, f32)
+
+
+def _device_ops_arrays(ops, f32) -> DeviceOps:
     return DeviceOps(
         A_stack=jnp.asarray(np.stack(ops.A), f32),
         B_stack=jnp.asarray(np.stack(ops.B), f32),

@@ -153,3 +153,102 @@ def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     state = jax.tree.map(lambda x: _shard_batch(np.asarray(x), mesh), state)
     fn = _sharded_mpc(cfg, mesh, num_ticks, world_dt)
     return fn(robot, state, jnp.asarray(sphere_radius, jnp.float32))
+
+
+def _unhealthy(state_host: MPCState) -> np.ndarray:
+    """Per-scenario failure mask [B]: any non-finite leaf value.
+
+    Non-finite state is the observable signature of both numerical blowup
+    and a shard whose device died mid-dispatch (its buffers never landed).
+    """
+    bad = None
+    for leaf in jax.tree.leaves(state_host):
+        arr = np.asarray(leaf)
+        if not np.issubdtype(arr.dtype, np.floating):
+            continue
+        b = ~np.isfinite(arr.reshape(arr.shape[0], -1)).all(axis=1)
+        bad = b if bad is None else (bad | b)
+    return bad if bad is not None else np.zeros(0, bool)
+
+
+def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
+                      sphere_radius, num_ticks: int, world_dt: float,
+                      mesh=None, chunk_ticks: int | None = None,
+                      max_retries: int = 2,
+                      _fault_hook=None) -> MPCState:
+    """Failure-detecting MPC driver (SURVEY §6 failure-recovery row).
+
+    The reference has no failure handling beyond its planning-time-limit
+    failsafe; the SURVEY mandates host-level retry of a failed shard for the
+    long-running multi-host MPC loop. Scenarios are stateless given their
+    MPCState pytree, so recovery is re-dispatch, not re-sharding:
+
+      - the loop runs in chunks of `chunk_ticks`; before each chunk the
+        batched state is snapshotted to host (the recovery point);
+      - a chunk that raises (device/runtime fault) is re-dispatched whole,
+        up to `max_retries` times;
+      - after each chunk, per-scenario health is checked (`_unhealthy`:
+        non-finite leaves); failed scenarios alone are re-run from the
+        snapshot on a fresh dispatch while healthy results are kept.
+        Re-dispatch replays the same PRNG keys, so a recovered scenario is
+        numerically identical to a never-failed one.
+
+    `_fault_hook(chunk_idx, state_host) -> state_host` is the fault-injection
+    seam used by tests (corrupts results as a dead shard would).
+    Single-process scope: in true multi-host runs each process applies this
+    driver to its local shard. The subset re-dispatch compiles once per
+    distinct failed-count, which is fine at recovery rates worth surviving.
+    """
+    if chunk_ticks is None:
+        chunk_ticks = max(1, min(num_ticks, 10))
+    radius = jnp.asarray(sphere_radius, jnp.float32)
+
+    @functools.lru_cache(maxsize=8)
+    def _retry_fn(ticks: int):
+        return jax.jit(jax.vmap(
+            lambda s: run_mpc(robot, cfg, s, radius, ticks, world_dt)))
+
+    # np.array (copy): device views are read-only, and the snapshot must not
+    # alias buffers the next dispatch may donate
+    to_host = lambda st: jax.tree.map(lambda x: np.array(x), st)
+    done = 0
+    chunk_idx = 0
+    while done < num_ticks:
+        ticks = min(chunk_ticks, num_ticks - done)
+        snapshot = to_host(state)
+        out = None
+        for attempt in range(max_retries + 1):
+            try:
+                out = to_host(run_mpc_sharded(robot, cfg, state, radius,
+                                              ticks, world_dt, mesh=mesh))
+                break
+            except Exception:
+                if attempt == max_retries:
+                    raise
+        if _fault_hook is not None:
+            out = _fault_hook(chunk_idx, out)
+        bad = _unhealthy(out)
+        for attempt in range(max_retries):
+            if not bad.any():
+                break
+            idx = np.flatnonzero(bad)
+            sub = jax.tree.map(lambda x: jnp.asarray(x[idx]), snapshot)
+            redo = to_host(_retry_fn(ticks)(sub))
+            out = jax.tree.map(
+                lambda full, part: _merge_rows(full, part, idx), out, redo)
+            bad = _unhealthy(out)
+        if bad.any():
+            raise RuntimeError(
+                f"MPC scenarios {np.flatnonzero(bad).tolist()} still "
+                f"unhealthy after {max_retries} re-dispatches "
+                f"(chunk {chunk_idx}, ticks {done}..{done + ticks})")
+        state = out
+        done += ticks
+        chunk_idx += 1
+    return jax.tree.map(jnp.asarray, state)
+
+
+def _merge_rows(full: np.ndarray, part: np.ndarray, idx: np.ndarray):
+    full = np.array(full)
+    full[idx] = part
+    return full
