@@ -1,6 +1,6 @@
 """Distributed tests on 8 virtual CPU devices (SURVEY §5.5): mesh sharding
-must not change numerics — per-scenario results bitwise-identical to a
-single-device vmap run."""
+must not change numerics beyond fusion-order roundoff — per-scenario results
+match a single-device vmap run to 1-2 ULP (atol 2e-6)."""
 
 import numpy as np
 import jax

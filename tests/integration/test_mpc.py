@@ -88,9 +88,11 @@ def test_mpc_resilient_recovers_injected_shard_failure():
     B = 8
     radius = np.asarray([0.25], np.float32)
 
-    clean = mpc.run_mpc_resilient(robot, cfg, _batched_states(robot, cfg, B),
-                                  radius, num_ticks=6, world_dt=0.1,
-                                  mesh=make_mesh(), chunk_ticks=3)
+    # clean baseline is a SINGLE unchunked dispatch, so this test also
+    # catches chunked execution diverging from an uninterrupted run
+    clean = mpc.run_mpc_sharded(robot, cfg, _batched_states(robot, cfg, B),
+                                radius, num_ticks=6, world_dt=0.1,
+                                mesh=make_mesh())
 
     hits = []
 

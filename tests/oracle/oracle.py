@@ -26,6 +26,10 @@ STENCILS = {
     "fd5": {1: ([1 / 12, -8 / 12, 0.0, 8 / 12, -1 / 12], 2),
             2: ([-1 / 12, 16 / 12, -30 / 12, 16 / 12, -1 / 12], 2),
             3: ([-0.5, 1.0, 0.0, -1.0, 0.5], 2)},
+    "fd7": {1: ([-1 / 60, 9 / 60, -45 / 60, 0.0, 45 / 60, -9 / 60, 1 / 60], 3),
+            2: ([2 / 180, -27 / 180, 270 / 180, -490 / 180, 270 / 180,
+                 -27 / 180, 2 / 180], 3),
+            3: ([1 / 8, -8 / 8, 13 / 8, 0.0, -13 / 8, 8 / 8, -1 / 8], 3)},
 }
 
 

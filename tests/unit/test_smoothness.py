@@ -8,7 +8,7 @@ from tpustomp.api.config import SmoothnessConfig
 from tpustomp.dynamics.smoothness import build_operators, smoothness_cost
 
 
-@pytest.mark.parametrize("stencil", ["fd3", "fd5"])
+@pytest.mark.parametrize("stencil", ["fd3", "fd5", "fd7"])
 @pytest.mark.parametrize("weights", [(0.0, 1.0, 0.0), (1.0, 1.0, 0.1)])
 def test_R_matches_oracle_quadratic_form(stencil, weights):
     N, dt = 12, 0.1
@@ -116,3 +116,19 @@ def test_min_jerk_boundary_conditions():
         assert abs(acc[1]) < 0.25 * peak and abs(acc[-2]) < 0.25 * peak
     # monotone interpolation between endpoints
     assert np.all(theta[:, 0] >= 0) and np.all(theta[:, 0] <= 1)
+
+
+def test_fd7_stencils_exact_on_polynomials():
+    """The 7-point family (reference DIFF_RULE_LENGTH=7 shape) must be exact
+    for vel/acc on degree-5 and jerk on degree-4 polynomials."""
+    from tpustomp.dynamics.smoothness import _STENCILS
+
+    h = 0.1
+    x = np.arange(-3, 4) * h
+    f = 3 * x**5 - 2 * x**4 + x**3 - x**2 + 5 * x + 1
+    truth = {1: 5.0, 2: -2.0, 3: 6.0}  # derivatives at 0
+    for order in (1, 2, 3):
+        coeffs, r = _STENCILS["fd7"][order]
+        assert r == 3 and len(coeffs) == 7
+        got = float(np.dot(coeffs, f)) / h**order
+        np.testing.assert_allclose(got, truth[order], rtol=1e-9, atol=1e-9)

@@ -74,3 +74,29 @@ def test_analytic_gradient_is_unit_outward_for_sphere():
     p = jnp.array([[2.0, 0.0, 0.0]])
     d, g = sdf_grad(w, p)
     np.testing.assert_allclose(np.asarray(g[0]), [1, 0, 0], atol=1e-3)
+
+
+def test_analytic_grad_matches_central_difference():
+    """Closed-form union gradient (world/sdf.py:_analytic_sdf_grad) vs
+    central differences of the SDF, outside and inside both primitives."""
+    w = AnalyticWorld.make(
+        spheres=[((0.5, -0.2, 0.3), 0.4), ((-1.0, 0.8, 0.0), 0.25)],
+        boxes=[((1.5, 1.0, -0.5), (0.3, 0.2, 0.4))])
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.uniform(-2, 2.5, (64, 3)), jnp.float32)
+    # add points strictly inside the box and a sphere
+    pts = jnp.concatenate([pts, jnp.asarray(
+        [[1.5, 1.05, -0.4], [0.5, -0.2, 0.1]], jnp.float32)], axis=0)
+    d, g = sdf_grad(w, pts)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(sdf(w, pts)),
+                               atol=1e-6)
+    eps = 1e-3
+    for ax in range(3):
+        dp = jnp.zeros(3).at[ax].set(eps)
+        fd = (sdf(w, pts + dp) - sdf(w, pts - dp)) / (2 * eps)
+        # exclude points near primitive-switch/face-switch sets where the
+        # true gradient is discontinuous and FD straddles the kink
+        mask = np.abs(np.asarray(fd) - np.asarray(g[:, ax])) < 0.05
+        assert mask.mean() > 0.9, f"axis {ax}: too many FD mismatches"
+        np.testing.assert_allclose(np.asarray(g[:, ax])[mask],
+                                   np.asarray(fd)[mask], atol=5e-3)

@@ -32,9 +32,10 @@ class SmoothnessConfig:
     weight_acceleration: float = 1.0
     weight_jerk: float = 0.0
     # "fd3": classic 3-point stencils (STOMP paper formulation);
-    # "fd5": 5-point central stencils (higher-order, closer to the reference's
-    # 7-point DIFF_RULES family). Either satisfies the A.2 contract if used
-    # consistently in R, sampling, and M.
+    # "fd5": 5-point central stencils (higher order);
+    # "fd7": 7-point central stencils — the reference's DIFF_RULE_LENGTH=7
+    # family shape (stomp_utils.h, SURVEY A.2 [M]). Any choice satisfies the
+    # A.2 contract if used consistently in R, sampling, and M.
     stencil: str = "fd3"
     # Tikhonov ridge added to R (reference `ridge_factor`, default 0/tiny).
     ridge_factor: float = 0.0
@@ -199,19 +200,20 @@ def to_dict(cfg) -> dict:
 
 
 def _from_dict(cls, d: dict):
+    import typing
+
+    # `from __future__ import annotations` stringifies f.type, so resolve the
+    # real types once per class; any nested dataclass field then loads
+    # recursively without a per-name special case.
+    hints = typing.get_type_hints(cls)
     kw = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-            v = _from_dict(f.type, v)
-        elif f.name == "noise":
-            v = NoiseConfig(**{**v, "stddev_per_joint": tuple(v.get("stddev_per_joint", ()))}) if isinstance(v, dict) else v
-        elif f.name == "weights":
-            v = CostWeights(**v) if isinstance(v, dict) else v
-        elif f.name == "smoothness":
-            v = SmoothnessConfig(**v) if isinstance(v, dict) else v
+        ftype = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = _from_dict(ftype, v)
         elif isinstance(v, list):
             v = tuple(v)
         kw[f.name] = v

@@ -111,6 +111,10 @@ def plan_timed(robot: RobotSpec, world, problem: ProblemSpec,
     cfg = resolve_backend(cfg, robot, world)
     q0 = jnp.asarray(problem.q0, jnp.float32)
     qN = jnp.asarray(problem.qN, jnp.float32)
+    # shortest-path goal for continuous joints (solver.solve does this
+    # internally; this path drives init_state/run_until directly)
+    from tpustomp.engine.trajectory import wrap_goal
+    qN = wrap_goal(q0, qN, robot.joint_limited)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
     run_chunk = _jitted_chunk(cfg, constraints is not None)
     state = solver.init_state(robot, cfg, q0, qN, key)

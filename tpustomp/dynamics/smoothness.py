@@ -47,6 +47,17 @@ _STENCILS = {
         2: (np.array([-1.0, 16.0, -30.0, 16.0, -1.0]) / 12.0, 2),
         3: (np.array([1.0, -2.0, 0.0, 2.0, -1.0]) / -2.0, 2),
     },
+    # 7-point family — same DIFF_RULE_LENGTH=7 shape as the reference's
+    # stomp_utils.h rules (SURVEY A.2 [M]), built from textbook central
+    # coefficients (vel/acc O(h^6), jerk O(h^4)); verified exact on degree-5
+    # polynomials in tests. If a populated mount reveals different reference
+    # constants, swapping them here is a pure config-level change
+    # (SURVEY §8.3 hard part 2).
+    "fd7": {
+        1: (np.array([-1.0, 9.0, -45.0, 0.0, 45.0, -9.0, 1.0]) / 60.0, 3),
+        2: (np.array([2.0, -27.0, 270.0, -490.0, 270.0, -27.0, 2.0]) / 180.0, 3),
+        3: (np.array([1.0, -8.0, 13.0, 0.0, -13.0, 8.0, -1.0]) / 8.0, 3),
+    },
 }
 
 

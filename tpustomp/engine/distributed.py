@@ -16,7 +16,8 @@ module is the new framework's first-class scale-out story:
     process-local shards with `make_array_from_process_local_data`.
 
 Tests exercise this on 8 virtual CPU devices (tests/distributed/), asserting
-bitwise-identical per-scenario results vs single-device runs (SURVEY §5.5).
+per-scenario results match single-device runs to float32 tolerance (atol 2e-6;
+XLA fusion order differs by 1-2 ULP across shardings — SURVEY §5.5).
 """
 
 from __future__ import annotations

@@ -53,8 +53,12 @@ class MPCState:
 
 def init_mpc(robot: RobotSpec, cfg: PlannerConfig, q0, qN, sphere_center,
              sphere_vel, key) -> MPCState:
-    theta = min_jerk_init(jnp.asarray(q0, jnp.float32),
-                          jnp.asarray(qN, jnp.float32), cfg.num_timesteps)
+    from tpustomp.engine.trajectory import wrap_goal
+    q0 = jnp.asarray(q0, jnp.float32)
+    # wrap once here so the warm-start shift (which appends state.qN) and
+    # every replan share the same shortest-path goal for continuous joints
+    qN = wrap_goal(q0, jnp.asarray(qN, jnp.float32), robot.joint_limited)
+    theta = min_jerk_init(q0, qN, cfg.num_timesteps)
     return MPCState(
         q=jnp.asarray(q0, jnp.float32),
         qN=jnp.asarray(qN, jnp.float32),
@@ -65,6 +69,13 @@ def init_mpc(robot: RobotSpec, cfg: PlannerConfig, q0, qN, sphere_center,
         steps=jnp.int32(0),
         collided=jnp.bool_(False),
     )
+
+
+# Interpolation samples per executed q -> q_next segment in the collision
+# check (includes the segment endpoint; the start was the previous tick's
+# endpoint). 4 sub-samples at typical tick lengths (~0.05 rad joint motion)
+# bound the unchecked workspace gap well below common obstacle radii.
+_SEGMENT_CHECK_SAMPLES = 4
 
 
 def _shift_warm_start(theta, qN):
@@ -92,10 +103,15 @@ def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
                        theta0=theta0)
     theta_new = sol.trajectory[1:-1]
 
-    # collision check of the executed configuration
+    # collision check of the executed MOTION, not just the arrival tick:
+    # sample the q -> q_next segment so a fast obstacle cannot pass through
+    # between ticks undetected (the previous tick already checked state.q,
+    # so the start point is excluded)
     from tpustomp.robot.fk import body_positions
     from tpustomp.world.sdf import sdf
-    x = body_positions(robot, q_next)
+    alphas = jnp.linspace(0.0, 1.0, _SEGMENT_CHECK_SAMPLES + 1)[1:]
+    qs = state.q[None, :] + alphas[:, None] * (q_next - state.q)[None, :]
+    x = jax.vmap(lambda q: body_positions(robot, q))(qs)
     margin = jnp.min(sdf(world, x) - robot.body_radius)
     return state.replace(
         q=q_next,
@@ -155,11 +171,15 @@ def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     return fn(robot, state, jnp.asarray(sphere_radius, jnp.float32))
 
 
-def _unhealthy(state_host: MPCState) -> np.ndarray:
-    """Per-scenario failure mask [B]: any non-finite leaf value.
+def _unhealthy(state_host: MPCState,
+               expected_steps: np.ndarray | None = None) -> np.ndarray:
+    """Per-scenario failure mask [B]: non-finite leaves or a wrong tick count.
 
     Non-finite state is the observable signature of both numerical blowup
     and a shard whose device died mid-dispatch (its buffers never landed).
+    `expected_steps` additionally catches a dead shard that returned
+    zeroed/garbage *integer* leaves with finite floats: after a chunk of
+    `ticks` steps every scenario's counter must equal snapshot_steps+ticks.
     """
     bad = None
     for leaf in jax.tree.leaves(state_host):
@@ -168,7 +188,11 @@ def _unhealthy(state_host: MPCState) -> np.ndarray:
             continue
         b = ~np.isfinite(arr.reshape(arr.shape[0], -1)).all(axis=1)
         bad = b if bad is None else (bad | b)
-    return bad if bad is not None else np.zeros(0, bool)
+    if bad is None:
+        return np.zeros(0, bool)
+    if expected_steps is not None:
+        bad = bad | (np.asarray(state_host.steps) != expected_steps)
+    return bad
 
 
 def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
@@ -202,6 +226,18 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     if chunk_ticks is None:
         chunk_ticks = max(1, min(num_ticks, 10))
     radius = jnp.asarray(sphere_radius, jnp.float32)
+    # Resolve obstacle_backend="auto" ONCE so the subset re-dispatch path
+    # (_retry_fn) runs the exact backend run_mpc_sharded resolves to — a
+    # recovered scenario must be numerically identical to a fault-free run
+    # (candidate argmins can flip across backends).
+    from tpustomp.api.plan import resolve_backend
+    probe = AnalyticWorld(
+        sphere_center=jnp.zeros((1, 3)), sphere_radius=jnp.ones((1,)),
+        box_center=jnp.zeros((0, 3)), box_half=jnp.zeros((0, 3)))
+    cfg = resolve_backend(cfg, robot, probe)
+    # Device/runtime faults are retryable; deterministic programming errors
+    # (shape bugs, tracer leaks) are not — re-raise those immediately.
+    from jax.errors import JaxRuntimeError as _RetryableError
 
     @functools.lru_cache(maxsize=8)
     def _retry_fn(ticks: int):
@@ -211,23 +247,29 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     # np.array (copy): device views are read-only, and the snapshot must not
     # alias buffers the next dispatch may donate
     to_host = lambda st: jax.tree.map(lambda x: np.array(x), st)
+    state = to_host(state)  # host-resident: survives a device fault
     done = 0
     chunk_idx = 0
     while done < num_ticks:
         ticks = min(chunk_ticks, num_ticks - done)
-        snapshot = to_host(state)
+        snapshot = state  # already on host
         out = None
         for attempt in range(max_retries + 1):
             try:
-                out = to_host(run_mpc_sharded(robot, cfg, state, radius,
+                # dispatch from the host snapshot so a retry never feeds
+                # buffers that lived on the device that just failed
+                out = to_host(run_mpc_sharded(robot, cfg, snapshot, radius,
                                               ticks, world_dt, mesh=mesh))
                 break
-            except Exception:
+            except _RetryableError as e:
+                print(f"[tpustomp.mpc] chunk {chunk_idx} attempt {attempt} "
+                      f"failed: {type(e).__name__}: {e}", flush=True)
                 if attempt == max_retries:
                     raise
         if _fault_hook is not None:
             out = _fault_hook(chunk_idx, out)
-        bad = _unhealthy(out)
+        expected = np.asarray(snapshot.steps) + ticks
+        bad = _unhealthy(out, expected)
         for attempt in range(max_retries):
             if not bad.any():
                 break
@@ -236,7 +278,7 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
             redo = to_host(_retry_fn(ticks)(sub))
             out = jax.tree.map(
                 lambda full, part: _merge_rows(full, part, idx), out, redo)
-            bad = _unhealthy(out)
+            bad = _unhealthy(out, expected)
         if bad.any():
             raise RuntimeError(
                 f"MPC scenarios {np.flatnonzero(bad).tolist()} still "

@@ -37,7 +37,7 @@ from tpustomp.engine import pi2
 from tpustomp.engine.chomp import chomp_delta
 from tpustomp.engine.limits import project_limits
 from tpustomp.engine.sampling import sample_noise
-from tpustomp.engine.trajectory import full_trajectory, min_jerk_init
+from tpustomp.engine.trajectory import full_trajectory, min_jerk_init, wrap_goal
 from tpustomp.robot.model import RobotSpec
 
 
@@ -378,6 +378,9 @@ def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
           ops: DeviceOps, q0: jnp.ndarray, qN: jnp.ndarray,
           key: jax.Array, theta0: jnp.ndarray | None = None) -> Solution:
     """Run one full planning query to termination (A.12). Pure; jit/vmap-able."""
+    # continuous joints take the shortest angular path to the goal
+    # (reference: stomp_utils.h angle normalization; engine/trajectory.py)
+    qN = wrap_goal(q0, qN, robot.joint_limited)
     state = init_state(robot, cfg, q0, qN, key, theta0)
     state = run_until(robot, world, constraints, cfg, ops, q0, qN, state,
                       jnp.int32(cfg.max_iterations))

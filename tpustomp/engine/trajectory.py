@@ -28,3 +28,19 @@ def min_jerk_init(q0: jnp.ndarray, qN: jnp.ndarray, N: int) -> jnp.ndarray:
 def full_trajectory(theta: jnp.ndarray, q0: jnp.ndarray, qN: jnp.ndarray) -> jnp.ndarray:
     """[N, d] free waypoints -> [N+2, d] true trajectory with endpoints."""
     return jnp.concatenate([q0[None, :], theta, qN[None, :]], axis=0)
+
+
+def wrap_goal(q0: jnp.ndarray, qN: jnp.ndarray,
+              limited: jnp.ndarray) -> jnp.ndarray:
+    """Shortest-path goal for continuous (wrap-around) joints.
+
+    Reference equivalent: the angle-normalization utilities in
+    ``stomp_utils.h`` + per-joint wrap-around flags in ``StompRobotModel``
+    (SURVEY §3.1): a goal 350° away should take the −10° path. For joints
+    with `limited=False` the goal is replaced by the equivalent angle whose
+    delta from q0 lies in (−π, π]; limited joints pass through unchanged
+    (their configuration space does not wrap).
+    """
+    delta = qN - q0
+    wrapped = delta - 2.0 * jnp.pi * jnp.round(delta / (2.0 * jnp.pi))
+    return jnp.where(limited, qN, q0 + wrapped)

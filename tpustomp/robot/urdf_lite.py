@@ -235,10 +235,22 @@ def _spheres_from_geometry(geom_el, xyz, rot, spacing_factor=1.0,
     return out  # unknown geometry: skip (reference uses spheres too)
 
 
-def load_urdf(xml_text: str, root: str | None = None, tip: str | None = None,
-              sphere_spacing: float = 1.0,
-              mesh_dir: str | None = None) -> RobotSpec:
-    """Parse a URDF string into a serial-chain RobotSpec (root → tip)."""
+_MOVING = ("revolute", "continuous", "prismatic")
+
+
+def _joint_motion(j: _Joint, q: float):
+    """(xyz, rot) of a frozen joint's motion at position q, in its own frame."""
+    if j.jtype == "prismatic":
+        return j.axis * q, np.eye(3)
+    # revolute/continuous: Rodrigues rotation about the joint axis
+    a = j.axis
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    R = np.eye(3) + np.sin(q) * K + (1 - np.cos(q)) * (K @ K)
+    return np.zeros(3), R
+
+
+def _parse_urdf(xml_text: str, sphere_spacing: float, mesh_dir):
+    """Parse links/joints into host dataclasses + the tree adjacency."""
     doc = ET.fromstring(xml_text)
     links: dict[str, _Link] = {}
     for lel in doc.findall("link"):
@@ -255,6 +267,7 @@ def load_urdf(xml_text: str, root: str | None = None, tip: str | None = None,
 
     joints: dict[str, _Joint] = {}
     child_of: dict[str, _Joint] = {}
+    children: dict[str, list[_Joint]] = {}
     for jel in doc.findall("joint"):
         xyz, rot = _origin(jel.find("origin"))
         ax_el = jel.find("axis")
@@ -270,6 +283,46 @@ def load_urdf(xml_text: str, root: str | None = None, tip: str | None = None,
                    lower, upper)
         joints[j.name] = j
         child_of[j.child] = j
+        children.setdefault(j.parent, []).append(j)
+    return links, joints, child_of, children
+
+
+def load_urdf_group(xml_text: str, root: str | None = None,
+                    tip: str | None = None,
+                    group_joints: list[str] | None = None,
+                    fixed_positions: dict[str, float] | None = None,
+                    sphere_spacing: float = 1.0,
+                    mesh_dir: str | None = None,
+                    base_pos=None, base_rot=None):
+    """Parse a (possibly tree-structured) URDF and plan one joint group.
+
+    Reference equivalents (SURVEY §3.1): ``StompRobotModel`` resolving a
+    *planning group* (joint list) inside the full URDF→KDL tree, with
+    whole-tree collision geometry — the reference plans the PR2 right arm
+    while the torso/head/left arm remain part of the robot.
+
+    Semantics, TPU-first:
+      - `group_joints` (chain order not required; validated against the
+        root→tip path) are the planned DOFs. None = every moving joint on
+        the root→tip chain not named in `fixed_positions`.
+      - every other moving joint in the tree is FROZEN at
+        `fixed_positions[name]` (default 0.0) and folded into constant
+        transforms — exactly like a fixed joint.
+      - every link in the whole tree attaches its sphere bodies (and mass)
+        to its deepest group-joint ancestor, so a gripper on the planned
+        wrist moves with it;
+      - links with NO group-joint ancestor (torso below the group, the
+        other arm, the head) are static: their spheres are returned in
+        WORLD coordinates for the caller to compose into the world SDF
+        (AnalyticWorld.make(spheres=...) or an EDT bake) — the robot's own
+        immobile geometry acts as obstacles, as in the reference.
+
+    Returns (RobotSpec, static_spheres) with static_spheres a list of
+    (center_xyz [3], radius) tuples in world frame.
+    """
+    links, joints, child_of, children = _parse_urdf(
+        xml_text, sphere_spacing, mesh_dir)
+    fixed_positions = dict(fixed_positions or {})
 
     # resolve root/tip
     all_children = set(child_of.keys())
@@ -285,79 +338,136 @@ def load_urdf(xml_text: str, root: str | None = None, tip: str | None = None,
             raise ValueError(f"ambiguous tip links {tips}; pass tip=")
         tip = tips[0]
 
-    # chain from tip back to root
+    # root→tip chain (the group must live on it)
     chain: list[_Joint] = []
     cur = tip
     while cur != root:
         if cur not in child_of:
             raise ValueError(f"link {cur} unreachable from {root}")
-        j = child_of[cur]
-        chain.append(j)
-        cur = j.parent
+        chain.append(child_of[cur])
+        cur = chain[-1].parent
     chain.reverse()
+    chain_moving = [j.name for j in chain if j.jtype in _MOVING]
+    if group_joints is None:
+        group = [n for n in chain_moving if n not in fixed_positions]
+    else:
+        group = [n for n in chain_moving if n in set(group_joints)]
+        missing = set(group_joints) - set(group)
+        if missing:
+            raise ValueError(
+                f"group joints {sorted(missing)} are not moving joints on "
+                f"the {root}->{tip} chain (chain has {chain_moving})")
+    if not group:
+        raise ValueError("planning group is empty")
+    group_set = set(group)
 
-    # fold fixed joints into the next moving joint; accumulate per-moving-
-    # joint link data (geometry/inertia of the moving link and of any links
-    # attached to it through fixed joints)
+    # whole-tree DFS: carry (carrier group-joint index | -1 = world, and the
+    # transform from that carrier's frame to the current link frame)
     axes, offsets, rots, lowers, uppers, limited, types = [], [], [], [], [], [], []
     masses, coms, inertias = [], [], []
     body_link, body_offset, body_radius = [], [], []
+    static_spheres: list = []
+    ee_offset = {"xyz": np.zeros(3)}
 
-    pending_xyz = np.zeros(3)
-    pending_rot = np.eye(3)
-    moving_idx = -1
-    # transform from current moving joint frame to the frame we're walking in
-    for j in chain:
-        if j.jtype == "fixed":
-            pending_xyz = pending_xyz + pending_rot @ j.xyz
-            pending_rot = pending_rot @ j.rot
-        elif j.jtype in ("revolute", "continuous", "prismatic"):
-            off = pending_xyz + pending_rot @ j.xyz
-            rot = pending_rot @ j.rot
-            axes.append(j.axis)
-            offsets.append(off)
-            rots.append(rot)
-            types.append(PRISMATIC if j.jtype == "prismatic" else REVOLUTE)
-            is_cont = (j.jtype == "continuous")
-            limited.append(not is_cont)
-            lowers.append(-np.pi if is_cont else j.lower)
-            uppers.append(np.pi if is_cont else j.upper)
-            moving_idx += 1
-            masses.append(0.0)
-            coms.append(np.zeros(3))
-            inertias.append(np.zeros((3, 3)))
-            pending_xyz = np.zeros(3)
-            pending_rot = np.eye(3)
-        else:
-            raise ValueError(f"unsupported joint type {j.jtype}")
+    base_pos_v = np.asarray(base_pos if base_pos is not None else [0.0] * 3,
+                            np.float64)
+    base_rot_m = np.asarray(base_rot if base_rot is not None else np.eye(3),
+                            np.float64)
 
-        link = links[j.child]
-        if moving_idx >= 0:
-            # child-link frame expressed in the moving joint's frame
-            T_xyz, T_rot = pending_xyz, pending_rot
+    def attach(link: _Link, carrier: int, T_xyz, T_rot):
+        if carrier >= 0:
             if link.mass > 0:
-                m_old = masses[moving_idx]
+                m_old = masses[carrier]
                 com_new = T_xyz + T_rot @ link.com
                 m_tot = m_old + link.mass
-                coms[moving_idx] = (m_old * coms[moving_idx]
-                                    + link.mass * com_new) / m_tot
-                masses[moving_idx] = m_tot
-                inertias[moving_idx] = (inertias[moving_idx]
-                                        + T_rot @ link.inertia @ T_rot.T)
+                coms[carrier] = (m_old * coms[carrier]
+                                 + link.mass * com_new) / m_tot
+                masses[carrier] = m_tot
+                inertias[carrier] = (inertias[carrier]
+                                     + T_rot @ link.inertia @ T_rot.T)
             for center, radius in link.spheres:
-                body_link.append(moving_idx)
+                body_link.append(carrier)
                 body_offset.append(T_xyz + T_rot @ center)
                 body_radius.append(radius)
+        else:
+            for center, radius in link.spheres:
+                world = base_rot_m @ (T_xyz + T_rot @ center) + base_pos_v
+                static_spheres.append((world, radius))
 
-    if not axes:
-        raise ValueError("no moving joints on the chain")
+    def visit(link_name: str, carrier: int, T_xyz, T_rot):
+        attach(links[link_name], carrier, T_xyz, T_rot)
+        if link_name == tip:
+            if carrier != len(axes) - 1:
+                raise ValueError(
+                    "tip link is not carried by the last group joint "
+                    "(group must end at or before the tip)")
+            ee_offset["xyz"] = T_xyz
+        for j in children.get(link_name, []):
+            if j.name in group_set:
+                if carrier != len(axes) - 1:
+                    raise ValueError(
+                        f"group joint {j.name} does not chain from the "
+                        f"previous group joint (carrier {carrier})")
+                axes.append(j.axis)
+                offsets.append(T_xyz + T_rot @ j.xyz)
+                rots.append(T_rot @ j.rot)
+                types.append(PRISMATIC if j.jtype == "prismatic" else REVOLUTE)
+                is_cont = (j.jtype == "continuous")
+                limited.append(not is_cont)
+                lowers.append(-np.pi if is_cont else j.lower)
+                uppers.append(np.pi if is_cont else j.upper)
+                masses.append(0.0)
+                coms.append(np.zeros(3))
+                inertias.append(np.zeros((3, 3)))
+                visit(j.child, len(axes) - 1, np.zeros(3), np.eye(3))
+            else:
+                if j.jtype == "fixed":
+                    m_xyz, m_rot = np.zeros(3), np.eye(3)
+                elif j.jtype in _MOVING:
+                    m_xyz, m_rot = _joint_motion(
+                        j, float(fixed_positions.get(j.name, 0.0)))
+                else:
+                    raise ValueError(f"unsupported joint type {j.jtype}")
+                n_rot = T_rot @ j.rot
+                n_xyz = T_xyz + T_rot @ j.xyz + n_rot @ m_xyz
+                visit(j.child, carrier, n_xyz, n_rot @ m_rot)
+
+    visit(root, -1, np.zeros(3), np.eye(3))
+
     if not body_link:  # planners need at least one body; use the tip origin
         body_link, body_offset, body_radius = [len(axes) - 1], [np.zeros(3)], [0.01]
 
-    return _spec(axes, offsets, np.stack(rots), lowers, uppers, limited,
+    spec = _spec(axes, offsets, np.stack(rots), lowers, uppers, limited,
                  body_link, body_offset, body_radius, joint_type=types,
+                 base_pos=base_pos_v, base_rot=base_rot_m,
                  link_mass=masses, link_com=coms, link_inertia=inertias,
-                 ee_offset=pending_xyz)  # tip-link frame via trailing fixed joints
+                 ee_offset=ee_offset["xyz"])
+    return spec, static_spheres
+
+
+def load_urdf(xml_text: str, root: str | None = None, tip: str | None = None,
+              sphere_spacing: float = 1.0,
+              mesh_dir: str | None = None) -> RobotSpec:
+    """Parse a URDF string into a RobotSpec planning the full root→tip chain.
+
+    Tree-structured URDFs are fully supported: branch geometry distal to a
+    chain joint (e.g. gripper fingers) rides that joint; immobile branch
+    geometry is NOT representable in a RobotSpec — use :func:`load_urdf_group`
+    to receive it as static world spheres. This wrapper warns if any was
+    found and dropped.
+    """
+    spec, static = load_urdf_group(xml_text, root=root, tip=tip,
+                                   sphere_spacing=sphere_spacing,
+                                   mesh_dir=mesh_dir)
+    if static:
+        import warnings
+
+        warnings.warn(
+            f"load_urdf: {len(static)} collision sphere(s) belong to links "
+            "with no moving-joint ancestor and were dropped; use "
+            "load_urdf_group() to plan a group with that geometry as static "
+            "world obstacles", stacklevel=2)
+    return spec
 
 
 def load_urdf_file(path: str, **kw) -> RobotSpec:

@@ -166,6 +166,49 @@ def _grid_sample(world: GridSDF, p: jnp.ndarray):
     return d, jnp.stack([gx, gy, gz], axis=-1)
 
 
+def _analytic_sdf_grad(world: AnalyticWorld, p: jnp.ndarray):
+    """(distance, exact gradient) of the min-composed primitive SDF.
+
+    Closed forms (one pass, no extra SDF evaluations — the CHOMP/HMC hot
+    path calls this per sphere per waypoint):
+      sphere: ∇d = rel / ‖rel‖;
+      box outside: ∇d = (max(q,0) ⊙ sign(rel)) / ‖max(q,0)‖;
+      box inside:  unit step toward the nearest face (argmax_i q_i).
+    The union takes the argmin primitive's gradient (the SDF's true gradient
+    everywhere except on the measure-zero equidistant set).
+    """
+    tiny = 1e-12
+    dists, grads = [], []
+    if world.sphere_radius.shape[0]:
+        rel = p[..., None, :] - world.sphere_center          # [..., S, 3]
+        norm = jnp.linalg.norm(rel, axis=-1)                 # [..., S]
+        dists.append(norm - world.sphere_radius)
+        grads.append(rel / (norm + tiny)[..., None])
+    if world.box_half.shape[0]:
+        rel = p[..., None, :] - world.box_center             # [..., X, 3]
+        q = jnp.abs(rel) - world.box_half
+        qp = jnp.maximum(q, 0.0)
+        outside = jnp.linalg.norm(qp, axis=-1)               # [..., X]
+        inside = jnp.minimum(q.max(axis=-1), 0.0)
+        dists.append(outside + inside)
+        sign = jnp.sign(rel)
+        g_out = qp * sign / (outside + tiny)[..., None]
+        # inside: move along the axis of the least-deep face (max q_i)
+        face = (q == q.max(axis=-1, keepdims=True)).astype(p.dtype)
+        face = face / jnp.maximum(face.sum(axis=-1, keepdims=True), 1.0)
+        g_in = face * sign
+        grads.append(jnp.where((outside > 0.0)[..., None], g_out, g_in))
+    if not dists:
+        return (jnp.full(p.shape[:-1], _BIG, p.dtype),
+                jnp.zeros_like(p))
+    d_all = jnp.concatenate(dists, axis=-1)                  # [..., P]
+    g_all = jnp.concatenate(grads, axis=-2)                  # [..., P, 3]
+    idx = jnp.argmin(d_all, axis=-1)
+    d = jnp.take_along_axis(d_all, idx[..., None], axis=-1)[..., 0]
+    g = jnp.take_along_axis(g_all, idx[..., None, None], axis=-2)[..., 0, :]
+    return d, g
+
+
 def sdf(world, p: jnp.ndarray) -> jnp.ndarray:
     """Signed distance at world points p [..., 3] (either world kind)."""
     if isinstance(world, GridSDF):
@@ -180,12 +223,4 @@ def sdf_grad(world, p: jnp.ndarray):
     """
     if isinstance(world, GridSDF):
         return _grid_sample(world, p)
-    d = _analytic_sdf(world, p)
-    # analytic worlds: exact gradient by re-deriving the active primitive
-    eps = 1e-4
-    grads = []
-    for ax in range(3):
-        dp = jnp.zeros(3, p.dtype).at[ax].set(eps)
-        grads.append((_analytic_sdf(world, p + dp) - _analytic_sdf(world, p - dp))
-                     / (2 * eps))
-    return d, jnp.stack(grads, axis=-1)
+    return _analytic_sdf_grad(world, p)
