@@ -7,13 +7,20 @@ transfer through the axon relay (~25 ms of fixed overhead in this
 environment; the on-device solve itself is ~5 ms). Target from BASELINE.json:
 < 100 ms; `vs_baseline` = 100 ms / measured (>1 ⇒ faster than target).
 
-Secondary metrics (batched solves/s, rollouts/s/chip) run when BENCH_FULL=1
-(they need a ~1-4 min remote compile) and are written to BENCH_DETAILS.json;
-summary lines go to stderr either way.
+The headline runs the flagship fused Pallas backend; the XLA path is
+recorded alongside. ALL THREE BASELINE metrics are produced every run and
+MERGED (never overwritten) into BENCH_DETAILS.json:
+  1. p50 replan latency, config 2 (pallas + xla)
+  2. noisy rollouts/s/chip — slope between two iteration counts through the
+     fused kernel, so fixed dispatch overhead cancels
+  3. solves/s at the config-4 shape, B=1024 scenarios vmapped on one chip
+plus the compiled-kernel parity gate (pallas vs XLA, all kernel variants;
+auto-skipped off-TPU).
 
-Run: python bench.py                 (real TPU via the axon backend)
-     BENCH_FULL=1 python bench.py    (adds throughput benches)
-     JAX_PLATFORMS=cpu python bench.py  (CPU smoke)
+Run: python bench.py                  (real TPU via the axon backend)
+     BENCH_FAST=1 python bench.py     (headline only — quick iteration)
+     BENCH_FULL=1 python bench.py     (also the 25-problem experiment suite)
+     JAX_PLATFORMS=cpu python bench.py   (CPU smoke)
 """
 
 import json
@@ -29,24 +36,27 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def headline():
-    from tpustomp.api.plan import plan
+def headline(backend="pallas"):
+    from tpustomp.api.plan import plan, resolve_backend
     from tpustomp.api.problem import ProblemSpec
     from bench.common import config2_cfg, config2_scene
 
     robot, world, q0, qN = config2_scene()
-    # latency is relay-dispatch dominated and identical across backends
-    # (measured 27.6 vs 28.5 ms); force the XLA path for its far faster
-    # compile so the driver's bench run stays robust. The pallas backend is
-    # exercised by the BENCH_FULL throughput bench (where it wins 3x).
-    cfg = config2_cfg(obstacle_backend="xla")
+    cfg = config2_cfg(obstacle_backend=backend)
+    # "pallas" is only valid where the fused kernel supports the scene; fall
+    # back to whatever auto resolves to (xla on CPU) so smoke runs still work
+    if backend == "pallas":
+        resolved = resolve_backend(cfg.replace(obstacle_backend="auto"),
+                                   robot, world)
+        cfg = resolved if resolved.obstacle_backend == "pallas" else resolved
     prob = ProblemSpec(q0=q0, qN=qN)
 
     t0 = time.perf_counter()
     sol = plan(robot, world, prob, cfg, key=jax.random.PRNGKey(0))
     _ = float(sol.cost)
-    log(f"compile+first solve: {time.perf_counter() - t0:.2f}s "
-        f"(success={bool(sol.success)}, iters={int(sol.iterations)})")
+    log(f"[{cfg.obstacle_backend}] compile+first solve: "
+        f"{time.perf_counter() - t0:.2f}s (success={bool(sol.success)}, "
+        f"iters={int(sol.iterations)})")
 
     lat, succ, iters = [], 0, []
     for i in range(20):
@@ -58,17 +68,20 @@ def headline():
         iters.append(int(sol.iterations))
     lat = np.asarray(lat)
     res = {
+        "backend": cfg.obstacle_backend,
         "p50_ms": float(np.percentile(lat, 50)),
         "p90_ms": float(np.percentile(lat, 90)),
         "min_ms": float(lat.min()),
         "success_rate": succ / 20,
         "mean_iterations": float(np.mean(iters)),
     }
-    log(f"replan latency: {res}")
+    log(f"replan latency [{cfg.obstacle_backend}]: {res}")
     return res
 
 
-def throughput(B=256):
+def solves_per_sec(B=1024):
+    """BASELINE metric 3: solves/s at the config-4 shape (B scenarios vmapped
+    on one chip, fused backend, full solve-to-termination workload)."""
     import jax.numpy as jnp
     from tpustomp.api.plan import plan_batch
     from tpustomp.api.problem import ProblemSpec
@@ -85,7 +98,7 @@ def throughput(B=256):
     sol = plan_batch(robot, world, prob, cfg,
                      keys=jax.random.split(jax.random.PRNGKey(0), B))
     _ = float(jnp.sum(sol.cost))
-    log(f"batched compile+first: {time.perf_counter() - t0:.1f}s")
+    log(f"batched B={B} compile+first: {time.perf_counter() - t0:.1f}s")
     ts = []
     for i in (1, 2, 3):
         t0 = time.perf_counter()
@@ -99,9 +112,10 @@ def throughput(B=256):
         "batch": B,
         "solves_per_sec": B / dt,
         "success_rate": float(jnp.mean(sol.success.astype(jnp.float32))),
-        "rollouts_per_sec": B * 56 * mi / dt,   # 56 candidate evals/iteration
+        "mean_iterations": mi,
+        "rollouts_per_sec_implied": B * 56 * mi / dt,  # 56 candidates/iter
     }
-    log(f"throughput: {res}")
+    log(f"solves/s B={B}: {res}")
     return res
 
 
@@ -116,19 +130,56 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"compile cache unavailable: {e}")
     dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
     log(f"device: {dev} ({dev.platform})")
-    res = headline()
-    details = {"replan_latency_config2": res, "device": str(dev)}
+
+    details = {"device": str(dev)}
+    res = headline("pallas" if on_tpu else "auto")
+    details["replan_latency_config2"] = res
+    fast = os.environ.get("BENCH_FAST") == "1"
+    if not fast:
+        try:
+            details["replan_latency_config2_xla"] = headline("xla")
+        except Exception as e:  # pragma: no cover
+            log(f"xla headline failed: {e}")
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from bench.rollouts_per_sec import run as rps_run
+            details["rollouts_per_sec"] = rps_run(batch=256)
+        except Exception as e:  # pragma: no cover
+            log(f"rollouts/s bench failed: {e}")
+        try:
+            details["throughput_config4_B1024"] = solves_per_sec(1024)
+        except Exception as e:  # pragma: no cover
+            log(f"B=1024 solves/s bench failed: {e}")
+        if on_tpu:
+            try:
+                from bench.kernel_parity import run as parity_run
+                details["kernel_parity_compiled_vs_xla"] = parity_run()
+            except Exception as e:  # pragma: no cover
+                log(f"kernel parity gate failed: {e}")
+        else:
+            log("kernel parity gate skipped (needs TPU)")
     if os.environ.get("BENCH_FULL") == "1":
-        details["throughput_config4"] = throughput()
         try:
             from bench.experiment_suite import run_suite
             details["experiment_suite_25"] = run_suite(
                 n=25, modes=("stomp", "chomp"))
         except Exception as e:  # pragma: no cover
             log(f"experiment suite skipped: {e}")
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
+
+    # MERGE into BENCH_DETAILS.json — never overwrite other sections
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DETAILS.json")
+    try:
+        with open(path) as f:
+            merged = json.load(f)
+    except Exception:
+        merged = {}
+    merged.update(details)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+
     print(json.dumps({
         "metric": "p50_replan_latency_config2",
         "value": round(res["p50_ms"], 3),

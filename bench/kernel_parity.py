@@ -1,0 +1,93 @@
+"""On-TPU compiled-kernel parity gate (VERDICT round-1 item 3).
+
+CPU tests run the Pallas kernels in interpret mode only; Mosaic-compiled
+code is a different backend and could silently diverge. This gate runs every
+kernel variant COMPILED on the chip against the XLA reference path on the
+same candidate batch and records max|Δ|:
+
+  - analytic world, unrolled kernel   (body_counts static partition)
+  - analytic world, rolled kernel     (body_counts=None fallback)
+  - grid world, hybrid kin kernel + XLA trilinear tail
+
+Returns a dict for BENCH_DETAILS.json; call only when
+jax.default_backend() == "tpu" (bench.py auto-skips elsewhere).
+"""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from bench.common import config2_cfg, config2_scene, log  # noqa: E402
+
+
+def _xla_reference(robot, world, fulls, dt, clearance):
+    from tpustomp.costs.obstacle import obstacle_cost
+
+    q_obs, margin = jax.jit(jax.vmap(
+        lambda f: obstacle_cost(robot, world, f, dt, clearance)))(fulls)
+    return np.asarray(q_obs), np.asarray(margin)
+
+
+def _pallas(robot, world, fulls, dt, clearance):
+    from tpustomp.kernels.rollout_pallas import obstacle_cost_batch_pallas
+
+    q_obs, margin = jax.jit(
+        lambda f: obstacle_cost_batch_pallas(robot, world, f, dt, clearance)
+    )(fulls)
+    return np.asarray(q_obs), np.asarray(margin)
+
+
+def run(C=128, T=102, seed=0):
+    from tpustomp.world.edt import grid_from_analytic
+
+    robot, world, q0, qN = config2_scene()
+    cfg = config2_cfg()
+    dt, clearance = cfg.dt, cfg.collision_clearance
+    rng = np.random.default_rng(seed)
+    base = np.linspace(q0, qN, T, dtype=np.float32)          # [T, d]
+    fulls = jnp.asarray(base[None] + rng.normal(0, 0.1, (C, T, 7))
+                        .astype(np.float32))
+
+    ref_q, ref_m = _xla_reference(robot, world, fulls, dt, clearance)
+    scale_q = max(float(np.abs(ref_q).max()), 1e-6)
+
+    out = {}
+    variants = {
+        "analytic_unrolled": (robot, world),
+        "analytic_rolled": (robot.replace(body_counts=None), world),
+    }
+    res = 0.025
+    origin = (-0.6, -1.2, -0.4)
+    shape = (int(2.2 / res), int(2.4 / res), int(1.8 / res))
+    grid = grid_from_analytic(world, origin, shape, resolution=res)
+    grid_ref_q, grid_ref_m = _xla_reference(robot, grid, fulls, dt, clearance)
+    for name, (rb, wd) in variants.items():
+        q, m = _pallas(rb, wd, fulls, dt, clearance)
+        out[name] = {
+            "max_abs_dq": float(np.abs(q - ref_q).max()),
+            "max_rel_dq": float(np.abs(q - ref_q).max() / scale_q),
+            "max_abs_dmargin": float(np.abs(m - ref_m).max()),
+        }
+        log(f"parity {name}: {out[name]}")
+    q, m = _pallas(robot, grid, fulls, dt, clearance)
+    out["grid_hybrid"] = {
+        "max_abs_dq": float(np.abs(q - grid_ref_q).max()),
+        "max_rel_dq": float(np.abs(q - grid_ref_q).max()
+                            / max(float(np.abs(grid_ref_q).max()), 1e-6)),
+        "max_abs_dmargin": float(np.abs(m - grid_ref_m).max()),
+    }
+    log(f"parity grid_hybrid: {out['grid_hybrid']}")
+    # fp32 reassociation tolerance: fail loudly if the compiled kernels have
+    # actually diverged from the XLA semantics
+    out["pass"] = all(v["max_rel_dq"] < 1e-3 and v["max_abs_dmargin"] < 1e-4
+                      for k, v in out.items() if isinstance(v, dict))
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(run(), indent=2))

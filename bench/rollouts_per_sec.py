@@ -19,6 +19,8 @@ def _solve_fn(cfg, batch=None):
     from tpustomp.dynamics.device import device_ops
     from tpustomp.engine import solver
 
+    assert cfg.obstacle_backend != "auto", \
+        "resolve the backend before timing (solver treats 'auto' as xla)"
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
 
     if batch is None:
@@ -36,15 +38,18 @@ def _solve_fn(cfg, batch=None):
 
 def run(batch=64, iters_lo=100, iters_hi=400):
     import jax.numpy as jnp
+    from tpustomp.api.plan import resolve_backend
 
     robot, world, q0, qN = config2_scene()
     q0j, qNj = jnp.asarray(q0), jnp.asarray(qN)
-    out = {}
+    out = {"backend": resolve_backend(config2_cfg(), robot,
+                                      world).obstacle_backend}
     for label, B in (("latency_1_scenario", None), (f"throughput_B{batch}", batch)):
         times = {}
         for iters in (iters_lo, iters_hi):
             cfg = config2_cfg(max_iterations=iters,
                               max_iterations_after_collision_free=10**6)
+            cfg = resolve_backend(cfg, robot, world)
             fn, ops = _solve_fn(cfg, B)
             if B is None:
                 args = (robot, world, ops, q0j, qNj, jax.random.PRNGKey(0))

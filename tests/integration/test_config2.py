@@ -98,3 +98,17 @@ def test_init_actually_collides():
     pos = body_positions_traj(robot, full)
     dist = np.asarray(sdf(_analytic(), pos)) - np.asarray(robot.body_radius)[None, :]
     assert dist.min() < -0.05
+
+
+def test_stomp_config2_local_cost_mode():
+    """The reference's per-timestep LOCAL cost mode (SURVEY A.9 [M]) solves
+    config 2 at N=100 — slower than cumulative cost-to-go (only timesteps
+    whose rollouts differ in cost get informative softmax weights; see
+    api/config.py pi2_cost_mode) but it converges, pinning the
+    reference-faithful configuration. Round-1 VERDICT item 4."""
+    robot = model.arm_7dof()
+    world = _analytic()
+    cfg = _cfg(pi2_cost_mode="local", num_rollouts=50, max_iterations=150)
+    sol = plan(robot, world, ProblemSpec(q0=Q0, qN=QN), cfg,
+               key=jax.random.PRNGKey(0))
+    _check_solution(sol, world, robot)
