@@ -91,6 +91,13 @@ def sample_problems(robot, world, n, clearance=0.03, seed=0,
 
     @jax.jit
     def line_margin(q0, qN):  # min clearance along the min-jerk line (16 wp)
+        # wrap continuous joints first: the solver plans toward the wrapped
+        # goal (engine/trajectory.wrap_goal), so "the straight line collides"
+        # must be judged on the same line the planner starts from — without
+        # this, a raw 350-degree forearm-roll sweep can flag a problem hard
+        # whose wrapped 10-degree line is trivially free
+        from tpustomp.engine.trajectory import wrap_goal
+        qN = wrap_goal(q0, qN, robot.joint_limited)
         th = min_jerk_init(q0, qN, 16)
         full = jnp.concatenate([q0[None], th, qN[None]], axis=0)
         def one(q):
@@ -122,7 +129,8 @@ def sample_problems(robot, world, n, clearance=0.03, seed=0,
 
 
 def run_suite(n=125, seed=0, scenes=("tabletop", "shelf"),
-              modes=("stomp", "stomp-r4", "chomp", "chomp-hmc")):
+              modes=("stomp", "stomp-r4", "chomp", "chomp-pinv",
+                     "chomp-hmc")):
     import time
 
     from tpustomp.api.plan import plan_batch
@@ -153,9 +161,13 @@ def run_suite(n=125, seed=0, scenes=("tabletop", "shelf"),
                     noise=NoiseConfig(stddev=0.12, decay=0.995,
                                       num_rollouts_reused=5))
             else:
+                # swept at 7-DOF (docs/EXPERIMENTS.md): w_obs=20/lr=0.6 ->
+                # 0.93 vs 0.73 at the earlier w_obs=5/lr=0.3; matches
+                # configs/config3_chomp.yaml
                 cfg = config2_cfg(
-                    mode="chomp", learning_rate=0.3, max_iterations=150,
-                    weights=CostWeights(obstacle=5.0, smoothness=0.1))
+                    mode="chomp", learning_rate=0.6, max_iterations=150,
+                    use_pseudo_inverse=(mode == "chomp-pinv"),
+                    weights=CostWeights(obstacle=20.0, smoothness=0.1))
                 if mode == "chomp-hmc":
                     # noise.decay drives the HMC temperature anneal (chomp
                     # mode has no rollout sampling); 0.95^150 ≈ 0 lets the

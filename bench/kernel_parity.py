@@ -5,9 +5,10 @@ code is a different backend and could silently diverge. This gate runs every
 kernel variant COMPILED on the chip against the XLA reference path on the
 same candidate batch and records max|Δ|:
 
-  - analytic world, unrolled kernel   (body_counts static partition)
+  - analytic world, unrolled kernel   (time-major lane-packed default)
   - analytic world, rolled kernel     (body_counts=None fallback)
   - grid world, hybrid kin kernel + XLA trilinear tail
+  - composite world (grid + analytic overlay), hybrid kernel + min tail
 
 Returns a dict for BENCH_DETAILS.json; call only when
 jax.default_backend() == "tpu" (bench.py auto-skips elsewhere).
@@ -80,6 +81,17 @@ def run(C=128, T=102, seed=0):
         "max_abs_dmargin": float(np.abs(m - grid_ref_m).max()),
     }
     log(f"parity grid_hybrid: {out['grid_hybrid']}")
+    from tpustomp.world.sdf import CompositeWorld
+    comp = CompositeWorld.make(grid, spheres=[((0.35, 0.3, 0.55), 0.12)])
+    comp_ref_q, comp_ref_m = _xla_reference(robot, comp, fulls, dt, clearance)
+    q, m = _pallas(robot, comp, fulls, dt, clearance)
+    out["composite_hybrid"] = {
+        "max_abs_dq": float(np.abs(q - comp_ref_q).max()),
+        "max_rel_dq": float(np.abs(q - comp_ref_q).max()
+                            / max(float(np.abs(comp_ref_q).max()), 1e-6)),
+        "max_abs_dmargin": float(np.abs(m - comp_ref_m).max()),
+    }
+    log(f"parity composite_hybrid: {out['composite_hybrid']}")
     # fp32 reassociation tolerance: fail loudly if the compiled kernels have
     # actually diverged from the XLA semantics
     out["pass"] = all(v["max_rel_dq"] < 1e-3 and v["max_abs_dmargin"] < 1e-4

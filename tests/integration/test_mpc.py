@@ -135,3 +135,57 @@ def test_mpc_resilient_gives_up_on_persistent_failure():
         mpc.run_mpc_resilient(robot, cfg, states, radius, num_ticks=3,
                               world_dt=0.1, mesh=make_mesh(), chunk_ticks=3,
                               max_retries=1)
+
+
+def test_mpc_grid_static_world_with_moving_obstacle():
+    """Grid-scene MPC: the static world is a precomputed voxel SDF, the
+    moving obstacle rides the CompositeWorld overlay — the incremental-
+    update path for grid scenes (world/sdf.CompositeWorld; VERDICT r1
+    missing item 4). The arm must avoid BOTH."""
+    from tpustomp.world.edt import grid_from_analytic
+    from tpustomp.world.sdf import AnalyticWorld, sdf
+
+    robot = model.planar_2r(body_radius=0.05)
+    cfg = _cfg()
+    # static box near the straight path of the planar arm (z=0 plane)
+    static_analytic = AnalyticWorld.make(
+        boxes=[((1.3, 1.0, 0.0), (0.25, 0.25, 0.4))])
+    grid = grid_from_analytic(static_analytic, origin=(-2.5, -2.5, -0.5),
+                              shape=(50, 50, 12), resolution=0.1)
+    center = np.array([[2.4, -0.6, 0.0]], np.float32)
+    vel = np.array([[-0.15, 0.25, 0.0]], np.float32)
+    radius = jnp.asarray([0.25], jnp.float32)
+    state = mpc.init_mpc(robot, cfg, Q0, QN, center, vel,
+                         jax.random.PRNGKey(0))
+    out = mpc.run_mpc(robot, cfg, state, radius, num_ticks=15, world_dt=0.1,
+                      static_world=grid)
+    assert int(out.steps) == 15
+    assert not bool(out.collided)
+    # executed configs stayed clear of the STATIC grid too (the collided
+    # flag already checks the composite; this pins the grid part)
+    from tpustomp.robot.fk import body_positions
+    x = body_positions(robot, out.q)
+    assert float(jnp.min(sdf(grid, x) - robot.body_radius)) > 0.0
+
+
+def test_mpc_sharded_grid_static_world_runs():
+    from tpustomp.world.edt import grid_from_analytic
+    from tpustomp.world.sdf import AnalyticWorld
+
+    robot = model.planar_2r(body_radius=0.05)
+    cfg = _cfg()
+    grid = grid_from_analytic(
+        AnalyticWorld.make(boxes=[((1.3, 1.0, 0.0), (0.25, 0.25, 0.4))]),
+        origin=(-2.5, -2.5, -0.5), shape=(50, 50, 12), resolution=0.1)
+    B = 8
+    centers = np.tile([[2.4, -0.6, 0.0]], (B, 1, 1)).astype(np.float32)
+    vels = np.tile([[-0.15, 0.25, 0.0]], (B, 1, 1)).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    states = jax.vmap(
+        lambda c, v, k: mpc.init_mpc(robot, cfg, Q0, QN, c, v, k)
+    )(jnp.asarray(centers), jnp.asarray(vels), keys)
+    out = mpc.run_mpc_sharded(robot, cfg, states,
+                              np.asarray([0.25], np.float32), 4, 0.1,
+                              static_world=grid)
+    assert np.all(np.asarray(out.steps) == 4)
+    assert np.all(np.isfinite(np.asarray(out.theta)))

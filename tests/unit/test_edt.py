@@ -90,3 +90,55 @@ def test_voxelize_point_cloud():
     occ = edt.voxelize(pts, (0.0, 0.0, 0.0), (5, 5, 5), 0.1)
     assert occ[1, 1, 1] and occ[4, 2, 0]
     assert occ.sum() == 2  # out-of-bounds point dropped
+
+
+def test_incremental_sdf_matches_full_rebuild():
+    """IncrementalSDF updates (add box, remove box, add points) must equal a
+    from-scratch clamped rebuild exactly — grid, packed table, and samples
+    (the PropagationDistanceField incremental-update contract)."""
+    from tpustomp.world.edt import IncrementalSDF
+
+    rng = np.random.default_rng(11)
+    shape = (22, 18, 15)
+    occ0 = rng.random(shape) < 0.04
+    occ0[2:5, 3:6, 4:7] = True
+    inc = IncrementalSDF(occ0, origin=(0.0, 0.0, 0.0), resolution=0.05,
+                         max_distance=0.2)
+
+    def check():
+        fresh = IncrementalSDF(inc.occ, origin=(0.0, 0.0, 0.0),
+                               resolution=0.05, max_distance=0.2)
+        np.testing.assert_array_equal(np.asarray(inc.as_world().grid),
+                                      np.asarray(fresh.as_world().grid))
+        # packed rows are only read for sample cells [0, dim-2]
+        pk_inc = np.asarray(inc.as_world().packed).reshape(*shape, 8)
+        pk_new = np.asarray(fresh.as_world().packed).reshape(*shape, 8)
+        np.testing.assert_array_equal(pk_inc[:-1, :-1, :-1],
+                                      pk_new[:-1, :-1, :-1])
+
+    inc.set_box((10, 8, 6), (14, 12, 10), True)      # new cuboid obstacle
+    check()
+    inc.set_box((2, 3, 4), (5, 6, 7), False)         # remove the original
+    check()
+    pts = rng.uniform(0.1, 0.6, (30, 3))
+    inc.add_points(pts)                              # collision-map points
+    check()
+    # no-op updates leave the field untouched
+    grid_before = np.asarray(inc.as_world().grid).copy()
+    inc.set_box((10, 8, 6), (14, 12, 10), True)
+    np.testing.assert_array_equal(np.asarray(inc.as_world().grid),
+                                  grid_before)
+
+
+def test_incremental_sdf_clamps_at_max_distance():
+    from tpustomp.world.edt import IncrementalSDF
+
+    occ = np.zeros((30, 8, 8), bool)
+    occ[0, 4, 4] = True
+    inc = IncrementalSDF(occ, origin=(0.0, 0.0, 0.0), resolution=0.05,
+                         max_distance=0.3)
+    g = np.asarray(inc.as_world().grid)
+    assert g.max() <= 0.3 + 1e-6
+    # near-field values are the true EDT
+    assert abs(g[1, 4, 4] - 0.05) < 1e-6
+    assert abs(g[0, 4, 4] + 0.05) < 1e-6

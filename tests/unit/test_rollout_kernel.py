@@ -133,3 +133,49 @@ def test_grid_hybrid_matches_xla_path():
         np.testing.assert_allclose(np.asarray(q_obs[c]), np.asarray(q_ref),
                                    atol=2e-6, rtol=1e-5)
         assert abs(float(margin[c]) - float(m_ref)) < 1e-6
+
+
+def test_time_major_matches_candidate_major():
+    """The lane-packed time-major layout (default for the unrolled analytic
+    path; 2.46x on v5e — docs/PERFORMANCE.md) is bit-identical to the
+    candidate-major layout it replaced."""
+    robot = model.arm_7dof()
+    world = AnalyticWorld.make(
+        boxes=[((0.6, 0.0, 0.2), (0.45, 0.6, 0.25))],
+        spheres=[((0.3, 0.3, 0.9), 0.1)])
+    T, d = 30, robot.num_joints
+    rng = np.random.default_rng(3)
+    cand = jnp.asarray(rng.uniform(-1.2, 1.2, (128, T, d)), jnp.float32)
+    shapes = (d, robot.body_link.shape[0], 1, 1, T)
+    kw = dict(interpret=True, skip_rotf=robot.rot_fixed_identity)
+    f_cm = rp.build_unrolled_kernel(shapes, 0.05, 0.08, robot.body_counts,
+                                    tile_c=64, **kw)
+    f_tm = rp.build_unrolled_kernel(shapes, 0.05, 0.08, robot.body_counts,
+                                    time_major=True, **kw)
+    q1, m1 = f_cm(cand, robot, world)
+    q2, m2 = f_tm(cand, robot, world)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_composite_hybrid_matches_xla_path():
+    """CompositeWorld through the hybrid kernel path == XLA reference."""
+    from tpustomp.world.edt import grid_from_analytic
+    from tpustomp.world.sdf import CompositeWorld
+
+    robot = model.arm_7dof()
+    static = AnalyticWorld.make(boxes=[((0.6, 0.0, 0.2), (0.45, 0.6, 0.25))])
+    grid = grid_from_analytic(static, origin=(-0.6, -1.2, -0.4),
+                              shape=(40, 44, 30), resolution=0.06)
+    comp = CompositeWorld.make(grid, spheres=[((0.35, 0.3, 0.55), 0.12)])
+    assert rp.supports(robot, comp)
+    rng = np.random.default_rng(5)
+    cand = rng.uniform(-1.2, 1.2, (12, 26, 7)).astype(np.float32)
+    q_obs, margin = rp.obstacle_cost_batch_pallas(
+        robot, comp, jnp.asarray(cand), 0.05, 0.08, interpret=True)
+    for c in range(0, 12, 3):
+        q_ref, m_ref = obst.obstacle_cost(robot, comp, jnp.asarray(cand[c]),
+                                          0.05, 0.08)
+        np.testing.assert_allclose(np.asarray(q_obs[c]), np.asarray(q_ref),
+                                   atol=2e-6)
+        assert abs(float(margin[c]) - float(m_ref)) < 2e-6

@@ -100,3 +100,63 @@ def test_analytic_grad_matches_central_difference():
         assert mask.mean() > 0.9, f"axis {ax}: too many FD mismatches"
         np.testing.assert_allclose(np.asarray(g[:, ax])[mask],
                                    np.asarray(fd)[mask], atol=5e-3)
+
+
+def test_composite_world_min_composes_grid_and_overlay():
+    """CompositeWorld == min(grid, overlay) for sdf and the matching-branch
+    gradient for sdf_grad (the incremental-update path for grid scenes)."""
+    import jax
+    from tpustomp.world.edt import grid_from_analytic
+    from tpustomp.world.sdf import CompositeWorld, sdf, sdf_grad
+
+    static = AnalyticWorld.make(boxes=[((0.5, 0.0, 0.0), (0.2, 0.2, 0.2))])
+    grid = grid_from_analytic(static, origin=(-1.0, -1.0, -1.0),
+                              shape=(40, 40, 40), resolution=0.05)
+    comp = CompositeWorld.make(grid, spheres=[((-0.4, 0.1, 0.0), 0.15)])
+
+    rng = np.random.default_rng(3)
+    p = jnp.asarray(rng.uniform(-0.9, 0.9, (64, 3)).astype(np.float32))
+    # 1-2 ULP slack: the composite and standalone paths compile to different
+    # XLA fusions of the same math
+    d_comp = np.asarray(sdf(comp, p))
+    d_grid = np.asarray(sdf(grid, p))
+    d_over = np.asarray(sdf(comp.overlay, p))
+    np.testing.assert_allclose(d_comp, np.minimum(d_grid, d_over), atol=1e-6)
+
+    d2, g = sdf_grad(comp, p)
+    np.testing.assert_allclose(np.asarray(d2), d_comp, atol=1e-6)
+    dg, gg = sdf_grad(grid, p)
+    da, ga = sdf_grad(comp.overlay, p)
+    want = np.where((np.asarray(dg) <= np.asarray(da))[:, None],
+                    np.asarray(gg), np.asarray(ga))
+    # gradient branch selection is only well-defined away from grid/overlay
+    # ties (measure-zero equidistant set)
+    clear = np.abs(np.asarray(dg) - np.asarray(da)) > 1e-5
+    np.testing.assert_allclose(np.asarray(g)[clear], want[clear], atol=1e-6)
+
+    # jit/pytree-compatible: overlay update retraces nothing
+    f = jax.jit(lambda w, q: sdf(w, q))
+    moved = comp.replace(overlay=comp.overlay.replace(
+        sphere_center=comp.overlay.sphere_center + 0.2))
+    assert np.isfinite(np.asarray(f(comp, p))).all()
+    assert np.isfinite(np.asarray(f(moved, p))).all()
+
+
+def test_safe_norm_forward_identical_and_grad_finite_at_zero():
+    import jax
+    from tpustomp.world.sdf import safe_norm
+
+    x = jnp.asarray([[0.3, -0.4, 1.2], [0.0, 0.0, 0.0]])
+    np.testing.assert_array_equal(np.asarray(safe_norm(x)),
+                                  np.asarray(jnp.linalg.norm(x, axis=-1)))
+    g = jax.grad(lambda v: jnp.sum(safe_norm(v)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_safe_norm_propagates_nan():
+    """NaN inputs must stay NaN (MPC dead-shard detection relies on it)."""
+    from tpustomp.world.sdf import safe_norm
+
+    x = jnp.asarray([[np.nan, 1.0, 0.0], [1.0, 2.0, 2.0]])
+    out = np.asarray(safe_norm(x))
+    assert np.isnan(out[0]) and abs(out[1] - 3.0) < 1e-6

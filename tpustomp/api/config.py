@@ -134,6 +134,14 @@ class PlannerConfig:
     # SURVEY §7.3; engine/chomp.py). STOMP mode ignores both.
     use_pseudo_inverse: bool = False
     pseudo_inverse_ridge_factor: float = 1e-4
+    # Obstacle-gradient formulation in CHOMP mode:
+    # "functional": the reference's continuous-time functional gradient
+    #   (A.11, with curvature term) — kept as the parity default;
+    # "exact": reverse-mode autodiff of the *discretized* cost the solver
+    #   actually monitors (engine/chomp.exact_obstacle_gradient). TPU-native
+    #   option with no reference analogue; verified against finite
+    #   differences at 7-DOF. Ignores use_pseudo_inverse.
+    chomp_gradient_mode: str = "functional"
     use_hamiltonian_monte_carlo: bool = False  # reference flag; off (SURVEY A.11 [L])
     hmc_step_size: float = 0.01
     hmc_leapfrog_steps: int = 10

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from tpustomp.robot.fk import body_positions_traj
 from tpustomp.robot.model import RobotSpec
-from tpustomp.world.sdf import sdf
+from tpustomp.world.sdf import safe_norm, sdf
 
 
 def potential(d_signed: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -65,7 +65,9 @@ def obstacle_cost(robot: RobotSpec, world, full_traj: jnp.ndarray,
     """
     pos = body_world_positions(robot, full_traj)              # [N+2, B, 3]
     vel = workspace_velocity(pos, dt)
-    speed = jnp.linalg.norm(vel, axis=-1)                     # [N+2, B]
+    # safe_norm: forward-identical to linalg.norm; keeps the exact-CHOMP
+    # autodiff path (engine/chomp.py) NaN-free for stationary bodies
+    speed = safe_norm(vel)                                    # [N+2, B]
     dist = sdf(world, pos)                                    # [N+2, B]
     d_sig = dist - robot.body_radius[None, :] - clearance
     q = jnp.sum(potential(d_sig, clearance) * speed, axis=-1) * dt

@@ -13,6 +13,7 @@ plus the smoothness term Rθ + R_bias q; update θ ← θ − η·M·∇.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpustomp.costs.obstacle import potential, potential_deriv, workspace_velocity
@@ -94,19 +95,54 @@ def obstacle_functional_gradient(robot: RobotSpec, world, full_traj: jnp.ndarray
     return g[1:-1]                                    # interior rows only
 
 
+def exact_obstacle_gradient(robot: RobotSpec, world, theta: jnp.ndarray,
+                            q0: jnp.ndarray, qN: jnp.ndarray, dt: float,
+                            clearance: float) -> jnp.ndarray:
+    """∇_θ Σ_t q_obs(t) by reverse-mode autodiff of the *discretized* cost.
+
+    The functional gradient (A.11) is the continuous-time gradient of
+    ∫ pot·‖ẋ‖ dt; after discretization it differs from the true gradient of
+    the cost the solver actually monitors by O(dt) terms (the ∂‖ẋ_b(t±1)‖/∂θ_t
+    coupling through the central difference). The reference, limited to what
+    KDL exposes, could only build the functional form; on TPU the exact
+    discrete gradient is one `jax.grad` through the same FK→SDF→potential
+    pipeline the evaluator runs (tested against finite differences at 7-DOF,
+    tests/unit/test_chomp_gradient7.py). Select with
+    PlannerConfig.chomp_gradient_mode="exact".
+    """
+    from tpustomp.costs.obstacle import obstacle_cost
+    from tpustomp.engine.trajectory import full_trajectory
+
+    def cost(th):
+        full = full_trajectory(th, q0, qN)
+        q, _ = obstacle_cost(robot, world, full, dt, clearance)
+        return jnp.sum(q)
+
+    return jax.grad(cost)(theta)
+
+
 def chomp_gradient(ops, robot: RobotSpec, world, theta: jnp.ndarray,
                    q0: jnp.ndarray, qN: jnp.ndarray, full_traj: jnp.ndarray,
                    dt: float, clearance: float, w_obstacle: float,
                    w_smoothness: float,
                    use_curvature: bool = True,
                    use_pseudo_inverse: bool = False,
-                   pinv_ridge: float = 1e-4) -> jnp.ndarray:
-    """Raw functional gradient ∇U = w_o ∇q_obs + w_s (Rθ + R_bias q): [N, d].
+                   pinv_ridge: float = 1e-4,
+                   gradient_mode: str = "functional") -> jnp.ndarray:
+    """Raw gradient ∇U = w_o ∇q_obs + w_s (Rθ + R_bias q): [N, d].
 
-    Shared by the plain CHOMP update and the HMC leapfrog force term."""
-    g_obs = obstacle_functional_gradient(robot, world, full_traj, dt,
-                                         clearance, use_curvature,
-                                         use_pseudo_inverse, pinv_ridge)
+    Shared by the plain CHOMP update and the HMC leapfrog force term.
+    gradient_mode: "functional" (A.11, curvature per use_curvature) or
+    "exact" (autodiff of the discretized cost; ignores use_pseudo_inverse,
+    which reshapes the workspace force map and has no exact-gradient
+    analogue)."""
+    if gradient_mode == "exact":
+        g_obs = exact_obstacle_gradient(robot, world, theta, q0, qN, dt,
+                                        clearance)
+    else:
+        g_obs = obstacle_functional_gradient(robot, world, full_traj, dt,
+                                             clearance, use_curvature,
+                                             use_pseudo_inverse, pinv_ridge)
     g_smooth = smoothness_gradient(ops, theta, q0, qN)
     return w_obstacle * g_obs + w_smoothness * g_smooth
 
@@ -117,7 +153,8 @@ def chomp_delta(ops, robot: RobotSpec, world, theta: jnp.ndarray,
                 w_smoothness: float, learning_rate: float,
                 use_curvature: bool = True,
                 use_pseudo_inverse: bool = False,
-                pinv_ridge: float = 1e-4) -> jnp.ndarray:
+                pinv_ridge: float = 1e-4,
+                gradient_mode: str = "functional") -> jnp.ndarray:
     """One CHOMP update direction: −η·R⁻¹·(w_o ∇q_obs + w_s (Rθ + R_bias q)).
 
     The R⁻¹ preconditioner makes the smoothness part an exact Newton step
@@ -127,5 +164,12 @@ def chomp_delta(ops, robot: RobotSpec, world, theta: jnp.ndarray,
     """
     grad = chomp_gradient(ops, robot, world, theta, q0, qN, full_traj, dt,
                           clearance, w_obstacle, w_smoothness, use_curvature,
-                          use_pseudo_inverse, pinv_ridge)
-    return -learning_rate * (ops.Rinv @ grad)
+                          use_pseudo_inverse, pinv_ridge, gradient_mode)
+    # precision=HIGHEST is load-bearing, not hygiene: the Newton-step
+    # exactness above is the cancellation R⁻¹(Rθ + R_bias q) = θ − θ*, and
+    # TPU's default fp32 matmul (bf16 passes, ~2⁻⁸ relative error against
+    # cond(R) ~ N⁴) destroys it — measured 0.10 vs 0.73 suite success on
+    # v5e (docs/EXPERIMENTS.md round-2 note). The 100×100 matmul is far off
+    # the hot path, so exact fp32 costs nothing here.
+    return -learning_rate * jnp.matmul(ops.Rinv, grad,
+                                       precision=jax.lax.Precision.HIGHEST)

@@ -34,7 +34,7 @@ from tpustomp.engine import solver
 from tpustomp.engine.distributed import SCENARIO_AXIS, make_mesh, _shard_batch
 from tpustomp.engine.trajectory import min_jerk_init
 from tpustomp.robot.model import RobotSpec
-from tpustomp.world.sdf import AnalyticWorld
+from tpustomp.world.sdf import AnalyticWorld, CompositeWorld, GridSDF
 
 
 @struct.dataclass
@@ -83,15 +83,40 @@ def _shift_warm_start(theta, qN):
     return jnp.concatenate([theta[1:], qN[None, :]], axis=0)
 
 
-def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
-             sphere_radius: jnp.ndarray, world_dt: float) -> MPCState:
-    """One control tick: move world, execute one waypoint, replan."""
-    # 1. world advances
-    centers = state.sphere_center + state.sphere_vel * world_dt
-    world = AnalyticWorld(
+def _tick_world(centers, sphere_radius, static_world):
+    """Compose the per-tick world: moving spheres + optional static scene.
+
+    static_world=None: moving spheres only (original config-5 shape).
+    GridSDF: CompositeWorld — the voxel scene stays precomputed, the moving
+    obstacles ride the analytic overlay (a pytree update per tick, the
+    incremental-update answer for grid scenes; world/sdf.CompositeWorld).
+    AnalyticWorld: static primitives merged into one analytic world.
+    The isinstance branches resolve at trace time (static_world's pytree
+    structure is fixed across ticks)."""
+    moving = AnalyticWorld(
         sphere_center=centers, sphere_radius=sphere_radius,
         box_center=jnp.zeros((0, 3), jnp.float32),
         box_half=jnp.zeros((0, 3), jnp.float32))
+    if static_world is None:
+        return moving
+    if isinstance(static_world, GridSDF):
+        return CompositeWorld(grid=static_world, overlay=moving)
+    return AnalyticWorld(
+        sphere_center=jnp.concatenate(
+            [centers, static_world.sphere_center], axis=0),
+        sphere_radius=jnp.concatenate(
+            [sphere_radius, static_world.sphere_radius], axis=0),
+        box_center=static_world.box_center,
+        box_half=static_world.box_half)
+
+
+def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
+             sphere_radius: jnp.ndarray, world_dt: float,
+             static_world=None) -> MPCState:
+    """One control tick: move world, execute one waypoint, replan."""
+    # 1. world advances
+    centers = state.sphere_center + state.sphere_vel * world_dt
+    world = _tick_world(centers, sphere_radius, static_world)
 
     # 2. execute the first planned waypoint
     q_next = state.theta[0]
@@ -124,12 +149,14 @@ def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
 
 
 def run_mpc(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
-            sphere_radius, num_ticks: int, world_dt: float) -> MPCState:
+            sphere_radius, num_ticks: int, world_dt: float,
+            static_world=None) -> MPCState:
     """Run `num_ticks` control steps (lax.scan; jit/vmap/shard-able)."""
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
 
     def tick(s, _):
-        return mpc_step(robot, cfg, ops, s, sphere_radius, world_dt), None
+        return mpc_step(robot, cfg, ops, s, sphere_radius, world_dt,
+                        static_world), None
 
     state, _ = jax.lax.scan(tick, state, None, length=num_ticks)
     return state
@@ -140,35 +167,45 @@ def _sharded_mpc(cfg: PlannerConfig, mesh, num_ticks: int, world_dt: float):
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
     replicated = NamedSharding(mesh, P())
 
-    def run(robot, state, sphere_radius):
+    def run(robot, state, sphere_radius, static_world):
         return jax.vmap(
             lambda s: run_mpc(robot, cfg, s, sphere_radius, num_ticks,
-                              world_dt)
+                              world_dt, static_world)
         )(state)
 
-    return jax.jit(run, in_shardings=(replicated, sharding, replicated),
+    return jax.jit(run, in_shardings=(replicated, sharding, replicated,
+                                      replicated),
                    out_shardings=sharding)
+
+
+def _probe_world(static_world):
+    """A world of the kind each tick will build, for resolve_backend."""
+    moving = AnalyticWorld(
+        sphere_center=jnp.zeros((1, 3)), sphere_radius=jnp.ones((1,)),
+        box_center=jnp.zeros((0, 3)), box_half=jnp.zeros((0, 3)))
+    if isinstance(static_world, GridSDF):
+        return CompositeWorld(grid=static_world, overlay=moving)
+    return moving
 
 
 def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                     sphere_radius, num_ticks: int, world_dt: float,
-                    mesh=None) -> MPCState:
+                    mesh=None, static_world=None) -> MPCState:
     """Batched MPC over the scenario mesh (BASELINE config 5).
 
     `state` leaves carry a leading [batch] axis (process-local shard in
     multi-host mode). Scenario count must divide by the mesh size.
+    `static_world` (GridSDF or AnalyticWorld, replicated) composes with the
+    per-scenario moving spheres each tick — see _tick_world.
     """
     if mesh is None:
         mesh = make_mesh()
     from tpustomp.api.plan import resolve_backend
-    from tpustomp.world.sdf import AnalyticWorld
-    probe = AnalyticWorld(
-        sphere_center=jnp.zeros((1, 3)), sphere_radius=jnp.ones((1,)),
-        box_center=jnp.zeros((0, 3)), box_half=jnp.zeros((0, 3)))
-    cfg = resolve_backend(cfg, robot, probe)
+    cfg = resolve_backend(cfg, robot, _probe_world(static_world))
     state = jax.tree.map(lambda x: _shard_batch(np.asarray(x), mesh), state)
     fn = _sharded_mpc(cfg, mesh, num_ticks, world_dt)
-    return fn(robot, state, jnp.asarray(sphere_radius, jnp.float32))
+    return fn(robot, state, jnp.asarray(sphere_radius, jnp.float32),
+              static_world)
 
 
 def _unhealthy(state_host: MPCState,
@@ -198,7 +235,7 @@ def _unhealthy(state_host: MPCState,
 def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                       sphere_radius, num_ticks: int, world_dt: float,
                       mesh=None, chunk_ticks: int | None = None,
-                      max_retries: int = 2,
+                      max_retries: int = 2, static_world=None,
                       _fault_hook=None) -> MPCState:
     """Failure-detecting MPC driver (SURVEY §6 failure-recovery row).
 
@@ -231,10 +268,7 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     # recovered scenario must be numerically identical to a fault-free run
     # (candidate argmins can flip across backends).
     from tpustomp.api.plan import resolve_backend
-    probe = AnalyticWorld(
-        sphere_center=jnp.zeros((1, 3)), sphere_radius=jnp.ones((1,)),
-        box_center=jnp.zeros((0, 3)), box_half=jnp.zeros((0, 3)))
-    cfg = resolve_backend(cfg, robot, probe)
+    cfg = resolve_backend(cfg, robot, _probe_world(static_world))
     # Device/runtime faults are retryable; deterministic programming errors
     # (shape bugs, tracer leaks) are not — re-raise those immediately.
     from jax.errors import JaxRuntimeError as _RetryableError
@@ -242,7 +276,8 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     @functools.lru_cache(maxsize=8)
     def _retry_fn(ticks: int):
         return jax.jit(jax.vmap(
-            lambda s: run_mpc(robot, cfg, s, radius, ticks, world_dt)))
+            lambda s: run_mpc(robot, cfg, s, radius, ticks, world_dt,
+                              static_world)))
 
     # np.array (copy): device views are read-only, and the snapshot must not
     # alias buffers the next dispatch may donate
@@ -259,7 +294,8 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                 # dispatch from the host snapshot so a retry never feeds
                 # buffers that lived on the device that just failed
                 out = to_host(run_mpc_sharded(robot, cfg, snapshot, radius,
-                                              ticks, world_dt, mesh=mesh))
+                                              ticks, world_dt, mesh=mesh,
+                                              static_world=static_world))
                 break
             except _RetryableError as e:
                 print(f"[tpustomp.mpc] chunk {chunk_idx} attempt {attempt} "

@@ -227,7 +227,8 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                             cfg.weights.obstacle, cfg.weights.smoothness,
                             cfg.learning_rate,
                             use_pseudo_inverse=cfg.use_pseudo_inverse,
-                            pinv_ridge=cfg.pseudo_inverse_ridge_factor)
+                            pinv_ridge=cfg.pseudo_inverse_ridge_factor,
+                            gradient_mode=cfg.chomp_gradient_mode)
         # direction-preserving update cap (reference joint_update_limit)
         max_d = jnp.max(jnp.abs(delta))
         scale = jnp.minimum(1.0, cfg.chomp_joint_update_limit / (max_d + 1e-12))
@@ -269,10 +270,15 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                                   cfg.weights.obstacle,
                                   cfg.weights.smoothness,
                                   use_pseudo_inverse=cfg.use_pseudo_inverse,
-                                  pinv_ridge=cfg.pseudo_inverse_ridge_factor)
+                                  pinv_ridge=cfg.pseudo_inverse_ridge_factor,
+                                  gradient_mode=cfg.chomp_gradient_mode)
+
+        _hi = jax.lax.Precision.HIGHEST  # see chomp_delta: bf16-pass matmuls
+        # break the R/R⁻¹ cancellations this integrator depends on
 
         def kinetic(v):
-            return 0.5 * jnp.float32(ops.cov_scale) * jnp.sum(v * (ops.R @ v))
+            Rv = jnp.matmul(ops.R, v, precision=_hi)
+            return 0.5 * jnp.float32(ops.cov_scale) * jnp.sum(v * Rv)
 
         v0 = sample_noise(k_mom, ops.L_sample,
                           jnp.sqrt(temp) * jnp.ones((robot.num_joints,),
@@ -281,7 +287,8 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
 
         def leapfrog(_, carry):
             th, v, g = carry
-            v = v - (0.5 * eta * inv_mass) * (ops.Rinv @ g)
+            v = v - (0.5 * eta * inv_mass) * jnp.matmul(ops.Rinv, g,
+                                                        precision=_hi)
             dth = eta * v
             if not cfg.hmc_metropolis:
                 # heuristic mode: trust-region cap each position step, like
@@ -291,7 +298,8 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                     1.0, cfg.chomp_joint_update_limit / (max_d + 1e-12))
             th = th + dth
             g = gradU(th)
-            v = v - (0.5 * eta * inv_mass) * (ops.Rinv @ g)
+            v = v - (0.5 * eta * inv_mass) * jnp.matmul(ops.Rinv, g,
+                                                        precision=_hi)
             return th, v, g
 
         th1, v1, _ = jax.lax.fori_loop(

@@ -58,13 +58,13 @@ TILE_C = 64  # candidates per tile (multiple of 8)
 def supports(robot, world) -> bool:
     """Concrete-time check: can the pallas path evaluate this problem?
 
-    Both world kinds are covered (analytic fully fused; grid via the hybrid
-    kinematics kernel) and both joint types; anything else (a custom world
-    class) falls back to XLA.
+    All three world kinds are covered (analytic fully fused; grid and
+    grid+overlay composite via the hybrid kinematics kernel) and both joint
+    types; anything else (a custom world class) falls back to XLA.
     """
-    from tpustomp.world.sdf import AnalyticWorld, GridSDF
+    from tpustomp.world.sdf import AnalyticWorld, CompositeWorld, GridSDF
 
-    return isinstance(world, (AnalyticWorld, GridSDF))
+    return isinstance(world, (AnalyticWorld, GridSDF, CompositeWorld))
 
 
 def _fk_stage(d, type_ref, axis_ref, off_ref, rotf_ref, base_ref, cand_ref,
@@ -140,12 +140,15 @@ def _body_position(frames_ref, blink_ref, boff_ref, b):
     return bx0, bx1, bx2
 
 
-def _workspace_speed(bx, t_idx, T, inv2dt, mzero):
-    """‖ẋ_b(t)‖ via central differences over the lane (waypoint) axis."""
+def _workspace_speed(bx, t_idx, T, inv2dt, mzero, axis=1):
+    """‖ẋ_b(t)‖ via central differences over the waypoint axis.
+
+    axis=1: candidate-major [tile, T] blocks (lane rolls);
+    axis=0: time-major [T, tile] blocks (sublane rolls)."""
     sp2 = mzero
     for xi in bx:
-        fwd = pltpu.roll(xi, shift=T - 1, axis=1)  # fwd[t] = x[t+1]
-        bwd = pltpu.roll(xi, shift=1, axis=1)      # bwd[t] = x[t-1]
+        fwd = pltpu.roll(xi, shift=T - 1, axis=axis)  # fwd[t] = x[t+1]
+        bwd = pltpu.roll(xi, shift=1, axis=axis)      # bwd[t] = x[t-1]
         vi = (fwd - bwd) * inv2dt
         vi = jnp.where(t_idx == 0, (fwd - xi) * (2.0 * inv2dt), vi)
         vi = jnp.where(t_idx == T - 1, (xi - bwd) * (2.0 * inv2dt), vi)
@@ -345,7 +348,8 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                           body_counts: tuple, mode: str = "analytic",
                           interpret: bool = False,
                           tile_c: int | None = None,
-                          skip_rotf: bool = False):
+                          skip_rotf: bool = False,
+                          time_major: bool = False):
     """Scratch-free fused evaluator: UNROLLED joint loop, each link's bodies
     evaluated inline while the frame is live in registers.
 
@@ -360,13 +364,22 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
 
     mode: "analytic" -> (q_obs [C,T], margin_row [C,T]) against SMEM
     sphere/box primitives; "kin" -> kin [B, 4, C, T] for the grid hybrid.
+
+    time_major (analytic only): lane-packing experiment (VERDICT r1 item
+    10) — blocks are [T, tile] (sublane = waypoint, lane = candidate)
+    instead of [tile, T]. Rationale: at T=102 the candidate-major layout
+    wastes 26/128 lanes of every vreg (~20% of VPU issue), while time-major
+    wastes only 2/104 sublanes and fills all 128 lanes at tile=128; the
+    time-axis coupling becomes sublane rolls. Measured on v5e: see
+    docs/PERFORMANCE.md (kept non-default unless it wins).
     """
     if mode == "analytic":
         d, n_bodies, n_spheres, n_boxes, T = shapes
     else:
         d, n_bodies, T = shapes
         n_spheres = n_boxes = 0
-    tile = tile_c or TILE_C
+        assert not time_major, "time_major implemented for analytic mode"
+    tile = tile_c or (128 if time_major else TILE_C)
     offsets = [0]
     for c in body_counts:
         offsets.append(offsets[-1] + c)
@@ -381,7 +394,11 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
             (type_ref, axis_ref, off_ref, rotf_ref, base_ref, boff_ref,
              cand_ref, kin_ref) = refs
         inv2dt = 1.0 / (2.0 * dt)
-        t_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, T), 1)
+        if time_major:
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, (T, tile), 0)
+        else:
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, (tile, T), 1)
+        t_axis = 0 if time_major else 1
         mzero = cand_ref[0, :, :] * 0.0
 
         p0 = mzero + base_ref[9]
@@ -429,7 +446,8 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                 bx1 = p1 + R[3] * bo0 + R[4] * bo1 + R[5] * bo2
                 bx2 = p2 + R[6] * bo0 + R[7] * bo1 + R[8] * bo2
                 bx = (bx0, bx1, bx2)
-                speed = _workspace_speed(bx, t_idx, T, inv2dt, mzero)
+                speed = _workspace_speed(bx, t_idx, T, inv2dt, mzero,
+                                         axis=t_axis)
                 if mode == "kin":
                     kin_ref[b, 0, :, :] = bx0
                     kin_ref[b, 1, :, :] = bx1
@@ -483,7 +501,10 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
         assert C % tile == 0, f"pad candidate count to {tile} (got {C})"
         base = jnp.concatenate([robot.base_rot.reshape(9),
                                 robot.base_pos.reshape(3)]).astype(f32)
-        cand_jm = jnp.transpose(cand_full.astype(f32), (2, 0, 1))
+        if time_major:
+            cand_jm = jnp.transpose(cand_full.astype(f32), (2, 1, 0))
+        else:
+            cand_jm = jnp.transpose(cand_full.astype(f32), (2, 0, 1))
         common = (robot.joint_type.astype(jnp.int32),
                   robot.joint_axis.astype(f32),
                   robot.joint_offset.astype(f32),
@@ -496,6 +517,23 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
             box = jnp.concatenate(
                 [world.box_center.reshape(-1, 3),
                  world.box_half.reshape(-1, 3)], axis=1).astype(f32)
+            if time_major:
+                q_obs_t, margin_t = pl.pallas_call(
+                    kernel,
+                    grid=(C // tile,),
+                    in_specs=[smem] * 9 + [
+                        pl.BlockSpec((d, T, tile), lambda i: (0, 0, i),
+                                     memory_space=pltpu.VMEM)],
+                    out_specs=[
+                        pl.BlockSpec((T, tile), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((T, tile), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)],
+                    out_shape=[jax.ShapeDtypeStruct((T, C), f32),
+                               jax.ShapeDtypeStruct((T, C), f32)],
+                    interpret=interpret,
+                )(*common, robot.body_radius.astype(f32), sph, box, cand_jm)
+                return q_obs_t.T, margin_t.T
             return pl.pallas_call(
                 kernel,
                 grid=(C // tile,),
@@ -532,12 +570,13 @@ def _grid_finish(world, kin, dt: float, clearance: float, body_radius):
 
     kin: [B, 4, C, T] from the kinematics kernel. Returns
     (q_obs [C, T], margin_row [C, T]). Matches costs/obstacle.py numerics.
+    Accepts GridSDF or CompositeWorld (sdf() min-composes the overlay).
     """
-    from tpustomp.world.sdf import _grid_sample
+    from tpustomp.world.sdf import sdf
 
     pos = jnp.moveaxis(kin[:, :3], 1, -1)            # [B, C, T, 3]
     speed = kin[:, 3]                                # [B, C, T]
-    dist, _ = _grid_sample(world, pos)               # [B, C, T]
+    dist = sdf(world, pos)                           # [B, C, T]
     radius = body_radius[:, None, None]
     d_sig = dist - radius - clearance
     pot = jnp.where(
@@ -556,9 +595,10 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
 
     full_trajs: [C, T, d] -> (q_obs [C, T], margin [C]). Shapes are read from
     the (possibly traced) arrays; values stay traced. Analytic worlds run
-    fully fused; grid worlds run the hybrid kinematics kernel + XLA gather.
+    fully fused; grid and composite (grid+overlay) worlds run the hybrid
+    kinematics kernel + XLA gather/min-compose tail.
     """
-    from tpustomp.world.sdf import GridSDF
+    from tpustomp.world.sdf import CompositeWorld, GridSDF
 
     C, T, d = full_trajs.shape
     tile = tile_c or TILE_C
@@ -571,7 +611,7 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
     # -> scratch-free unrolled kernel; else the rolled/staged fallback
     unrolled = getattr(robot, "body_counts", None) is not None
 
-    if isinstance(world, GridSDF):
+    if isinstance(world, (GridSDF, CompositeWorld)):
         if unrolled:
             shapes = (d, robot.body_link.shape[0], T)
             fn = build_unrolled_kernel(shapes, dt, clearance,
@@ -602,13 +642,24 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
     shapes = (d, robot.body_link.shape[0], world.sphere_radius.shape[0],
               world.box_half.shape[0], T)
     if unrolled:
+        # time-major [T, tile] blocks: 2.46x over the candidate-major
+        # default it replaced (1.26 vs 3.10 ms for 14336x102x13 on v5e,
+        # bit-identical; VERDICT r1 item 10 / docs/PERFORMANCE.md) — at
+        # T=102 candidate-major wastes 26/128 lanes of every vreg.
+        # time-major needs tile 128 (lane axis = candidates); re-pad.
+        tm_tile = 128 if tile_c is None else tile
+        tm_pad = (-C) % tm_tile
+        padded_tm = jnp.concatenate(
+            [full_trajs, jnp.broadcast_to(full_trajs[:1], (tm_pad, T, d))],
+            axis=0) if tm_pad else full_trajs
         fn = build_unrolled_kernel(shapes, dt, clearance, robot.body_counts,
                                    mode="analytic", interpret=interpret,
-                                   tile_c=tile,
+                                   tile_c=tm_tile, time_major=True,
                                    skip_rotf=robot.rot_fixed_identity)
-    else:
-        fn = build_rollout_kernel(shapes, dt, clearance, interpret=interpret,
-                                  tile_c=tile,
-                                  skip_rotf=robot.rot_fixed_identity)
+        q_obs, margin_row = fn(padded_tm, robot, world)
+        return q_obs[:C], jnp.min(margin_row[:C], axis=1)
+    fn = build_rollout_kernel(shapes, dt, clearance, interpret=interpret,
+                              tile_c=tile,
+                              skip_rotf=robot.rot_fixed_identity)
     q_obs, margin_row = fn(padded, robot, world)
     return q_obs[:C], jnp.min(margin_row[:C], axis=1)

@@ -100,7 +100,49 @@ class GridSDF:
                        packed=packed)
 
 
+@struct.dataclass
+class CompositeWorld:
+    """A static voxel grid plus a dynamic analytic overlay, min-composed.
+
+    Reference equivalent: ``distance_field::PropagationDistanceField``'s
+    *incremental* updates — the reference re-propagates distances from
+    changed obstacle cells so a grid world can change between queries
+    (SURVEY §3.2). The TPU-native answer splits the world by rate of
+    change instead: geometry that changes per control tick (MPC moving
+    obstacles, BASELINE config 5) lives in the analytic `overlay` whose
+    update is a pytree replace (zero rebuild, zero transfer), while the
+    static scene stays in the precomputed `grid`. The composed SDF is
+    min(grid, overlay) — exact for unions. Slow structural edits to the
+    grid itself go through world/edt.IncrementalSDF (host-side bounded
+    re-propagation, the direct PropagationDistanceField analogue).
+    """
+
+    grid: GridSDF
+    overlay: AnalyticWorld
+
+    @staticmethod
+    def make(grid: GridSDF, spheres=(), boxes=()) -> "CompositeWorld":
+        return CompositeWorld(grid=grid,
+                              overlay=AnalyticWorld.make(spheres, boxes))
+
+
 _BIG = 1e6
+
+
+def safe_norm(x: jnp.ndarray, axis=-1) -> jnp.ndarray:
+    """‖x‖ with a well-defined reverse-mode gradient (0) at x = 0.
+
+    Forward values are bit-identical to ``jnp.linalg.norm`` (the `where`
+    pair only reroutes the backward pass); needed because `jax.grad`
+    through sqrt(0) is NaN and the exact-CHOMP gradient path
+    (engine/chomp.exact_obstacle_gradient) differentiates through points
+    *inside* boxes (max(q,0) = 0) and through stationary bodies (ẋ = 0).
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    pos = sq > 0.0
+    # else-branch is sq*0, not 0: NaN inputs must stay NaN (the MPC failure
+    # detector identifies dead shards by NaN propagation, engine/mpc.py)
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), sq * 0.0)
 
 
 def _analytic_sdf(world: AnalyticWorld, p: jnp.ndarray) -> jnp.ndarray:
@@ -108,11 +150,11 @@ def _analytic_sdf(world: AnalyticWorld, p: jnp.ndarray) -> jnp.ndarray:
     d = jnp.full(p.shape[:-1], _BIG, p.dtype)
     if world.sphere_radius.shape[0]:
         rel = p[..., None, :] - world.sphere_center          # [..., S, 3]
-        ds = jnp.linalg.norm(rel, axis=-1) - world.sphere_radius
+        ds = safe_norm(rel) - world.sphere_radius
         d = jnp.minimum(d, ds.min(axis=-1))
     if world.box_half.shape[0]:
         q = jnp.abs(p[..., None, :] - world.box_center) - world.box_half
-        outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+        outside = safe_norm(jnp.maximum(q, 0.0))
         inside = jnp.minimum(q.max(axis=-1), 0.0)
         d = jnp.minimum(d, (outside + inside).min(axis=-1))
     return d
@@ -210,9 +252,12 @@ def _analytic_sdf_grad(world: AnalyticWorld, p: jnp.ndarray):
 
 
 def sdf(world, p: jnp.ndarray) -> jnp.ndarray:
-    """Signed distance at world points p [..., 3] (either world kind)."""
+    """Signed distance at world points p [..., 3] (any world kind)."""
     if isinstance(world, GridSDF):
         return _grid_sample(world, p)[0]
+    if isinstance(world, CompositeWorld):
+        return jnp.minimum(_grid_sample(world.grid, p)[0],
+                           _analytic_sdf(world.overlay, p))
     return _analytic_sdf(world, p)
 
 
@@ -223,4 +268,9 @@ def sdf_grad(world, p: jnp.ndarray):
     """
     if isinstance(world, GridSDF):
         return _grid_sample(world, p)
+    if isinstance(world, CompositeWorld):
+        dg, gg = _grid_sample(world.grid, p)
+        da, ga = _analytic_sdf_grad(world.overlay, p)
+        take_grid = (dg <= da)[..., None]
+        return jnp.minimum(dg, da), jnp.where(take_grid, gg, ga)
     return _analytic_sdf_grad(world, p)
