@@ -31,8 +31,8 @@ def _solve_fn(cfg, batch=None):
 
     @jax.jit
     def run(robot, world, ops, q0, qN, keys):
-        return jax.vmap(lambda a, b, k: solver.solve(
-            robot, world, None, cfg, ops, a, b, k))(q0, qN, keys)
+        # fused batched path (one kernel launch for all scenarios' candidates)
+        return solver.solve_batch(robot, world, None, cfg, ops, q0, qN, keys)
     return run, ops
 
 

@@ -53,6 +53,32 @@ def _jitted_solve(cfg: PlannerConfig, has_constraints: bool):
 
 @functools.lru_cache(maxsize=32)
 def _jitted_solve_batch(cfg: PlannerConfig, has_constraints: bool):
+    # STOMP: the batched solver (solver.solve_batch). With the fused kernel
+    # it flattens scenarios × candidates into one launch per iteration (full
+    # lane occupancy; plain vmap pads every scenario's 56 candidates to the
+    # 128-lane tile); on the XLA backend it evaluates per-scenario and is
+    # bit-identical to vmap(solve), so this is the one production path.
+    # Restarts fold into the scenario axis, then select_best per problem.
+    if cfg.mode == "stomp":
+        R = max(1, cfg.num_restarts)
+
+        def run(robot, world, constraints, ops, q0, qN, keys):
+            B = q0.shape[0]
+            if R > 1:
+                q0r = jnp.repeat(q0, R, axis=0)
+                qNr = jnp.repeat(qN, R, axis=0)
+                keysr = jax.vmap(lambda k: jax.random.split(k, R)
+                                 )(keys).reshape(B * R, -1)
+                sols = solver.solve_batch(robot, world, constraints, cfg,
+                                          ops, q0r, qNr, keysr)
+                grouped = jax.tree.map(
+                    lambda x: x.reshape((B, R) + x.shape[1:]), sols)
+                return jax.vmap(solver.select_best)(grouped)
+            return solver.solve_batch(robot, world, constraints, cfg, ops,
+                                      q0, qN, keys)
+
+        return jax.jit(run)
+
     def run(robot, world, constraints, ops, q0, qN, keys):
         return jax.vmap(
             lambda a, b, k: solver.solve_best_of(robot, world, constraints,

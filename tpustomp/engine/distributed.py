@@ -64,11 +64,20 @@ def _sharded_solve(cfg: PlannerConfig, mesh: Mesh, has_constraints: bool):
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
     replicated = NamedSharding(mesh, P())
 
-    def run(robot, world, constraints, ops, q0, qN, keys):
-        return jax.vmap(
-            lambda a, b, k: solver.solve_best_of(robot, world, constraints,
-                                                 cfg, ops, a, b, k)
-        )(q0, qN, keys)
+    if cfg.mode == "stomp" and cfg.num_restarts <= 1:
+        # fused batched path: per-shard, all local scenarios' candidates go
+        # through one kernel launch per iteration (solver.solve_batch; the
+        # scenario axis stays sharded through the [B,C]→[B·C] flatten since
+        # C is replicated — no resharding, no cross-shard traffic)
+        def run(robot, world, constraints, ops, q0, qN, keys):
+            return solver.solve_batch(robot, world, constraints, cfg, ops,
+                                      q0, qN, keys)
+    else:
+        def run(robot, world, constraints, ops, q0, qN, keys):
+            return jax.vmap(
+                lambda a, b, k: solver.solve_best_of(robot, world, constraints,
+                                                     cfg, ops, a, b, k)
+            )(q0, qN, keys)
 
     return jax.jit(
         run,

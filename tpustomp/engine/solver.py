@@ -89,13 +89,28 @@ def _evaluate_batch(robot, world, constraints, cfg: PlannerConfig,
                                              ops, q0, qN, th))(thetas)
 
     from tpustomp.costs.smoothness import smoothness_cost_per_timestep_batch
-    from tpustomp.kernels.rollout_pallas import obstacle_cost_batch_pallas
 
     fulls = jax.vmap(lambda th: full_trajectory(th, q0, qN))(thetas)
+    ctrl_t = smoothness_cost_per_timestep_batch(ops, thetas, q0, qN)
+    return _evaluate_fulls_pallas(robot, world, constraints, cfg, fulls,
+                                  ctrl_t)
+
+
+def _evaluate_fulls_pallas(robot, world, constraints, cfg: PlannerConfig,
+                           fulls, ctrl_t):
+    """Fused-kernel evaluation of precomputed full trajectories [C, T, d].
+
+    Split out of `_evaluate_batch` so the batched solver (`solve_batch`) can
+    flatten scenarios × candidates into ONE kernel launch (the candidate
+    axis is embarrassingly parallel; per-candidate numerics are layout-
+    independent).
+    """
+    from tpustomp.kernels.rollout_pallas import obstacle_cost_batch_pallas
+
     q_obs, margins = obstacle_cost_batch_pallas(
         robot, world, fulls, cfg.dt, cfg.collision_clearance)
     S = cfg.weights.obstacle * q_obs
-    q_con_sum = jnp.zeros(thetas.shape[0], thetas.dtype)
+    q_con_sum = jnp.zeros(fulls.shape[0], fulls.dtype)
     if constraints is not None:
         q_con = jax.vmap(lambda f: constraint_cost(robot, constraints, f)
                          )(fulls)
@@ -104,7 +119,6 @@ def _evaluate_batch(robot, world, constraints, cfg: PlannerConfig,
     if cfg.weights.torque > 0.0:
         q_tau = jax.vmap(lambda f: torque_cost(robot, f, cfg.dt))(fulls)
         S = S + cfg.weights.torque * q_tau
-    ctrl_t = smoothness_cost_per_timestep_batch(ops, thetas, q0, qN)
     ctrl = jnp.sum(ctrl_t, axis=1)
     totals = jnp.sum(S, axis=1) + cfg.weights.smoothness * ctrl
     return S, ctrl_t, margins, totals, (jnp.sum(q_obs, axis=1), ctrl,
@@ -119,6 +133,81 @@ def _record(state: SolverState, it, total, parts, cf) -> dict:
         m_constraint=state.m_constraint.at[it].set(parts[2]),
         m_cf=state.m_cf.at[it].set(cf),
     )
+
+
+def _make_stomp_phases(robot: RobotSpec, cfg: PlannerConfig, ops: DeviceOps,
+                       project, sigma0):
+    """The two per-scenario halves of one STOMP iteration, split around the
+    candidate evaluation so the batched path (`solve_batch`) can flatten
+    scenarios × candidates into one fused-kernel launch between them.
+    `make_step` composes them back into the single-scenario step; numerics
+    are shared by construction."""
+
+    def propose(state: SolverState):
+        """Sample noise, assemble the candidate set, apply per-rollout joint
+        limits. Returns (advanced key, cand [1+K+reuse, N, d]); slot 0 is
+        the current trajectory (see stomp_step's latency note)."""
+        it = state.iteration
+        decay = jnp.power(jnp.float32(cfg.noise.decay), it.astype(jnp.float32))
+        sigma = sigma0 * decay
+        key, k_noise = jax.random.split(state.key)
+
+        eps_new = sample_noise(k_noise, ops.L_sample, sigma, cfg.num_rollouts)
+        cand = jnp.concatenate(
+            [state.theta[None], state.theta[None] + eps_new,
+             state.reuse_theta], axis=0)
+        # per-rollout joint limits (see config.rollout_limit_projection)
+        if cfg.rollout_limit_projection == "smooth":
+            cand = jax.vmap(project)(cand)
+        else:
+            cand = jnp.where(robot.joint_limited[None, None, :],
+                             jnp.clip(cand, robot.joint_lower[None, None, :],
+                                      robot.joint_upper[None, None, :]),
+                             cand)
+        return key, cand
+
+    def apply_update(state: SolverState, key, cand, S_all, ctrl_all, margins,
+                     cand_total, parts) -> SolverState:
+        """Everything after evaluation: A.12 bookkeeping on slot 0, the
+        PI² update from slots 1:, and rollout reuse."""
+        it = state.iteration
+        eps = cand - state.theta[None]                 # re-centered noise (A.3)
+
+        # --- bookkeeping on the current θ (slot 0) --------------------- A.12
+        total0 = cand_total[0]
+        cf = margins[0] > cfg.collision_threshold
+        cf_count = jnp.where(cf, state.cf_count + 1, jnp.int32(0))
+        improved = cf & (total0 < state.best_cost)
+        done = ((it + 1 >= cfg.max_iterations)
+                | (cf_count >= cfg.max_iterations_after_collision_free))
+
+        # --- PI² update from the noisy candidates (slots 1:) ------- A.9/A.10
+        S_used = S_all[1:]
+        if cfg.pi2_include_control_cost:
+            S_used = S_used + cfg.weights.smoothness * ctrl_all[1:]
+        if cfg.pi2_cost_mode == "cumulative":
+            # cost-to-go: S(t) = sum_{t'>=t} q(t') (PI^2 proper; see config)
+            S_used = jnp.cumsum(S_used[:, ::-1], axis=1)[:, ::-1]
+        delta = pi2.update(eps[1:], S_used[:, 1:-1], ops.M, cfg.pi2_h)
+        theta_new = project(state.theta + delta)
+
+        # rollout reuse: keep the lowest-total-cost noisy candidates (A.3)
+        _, keep = jax.lax.top_k(-cand_total[1:], cfg.noise.num_rollouts_reused)
+        return state.replace(
+            theta=theta_new,
+            key=key,
+            iteration=it + 1,
+            best_theta=jnp.where(improved, state.theta, state.best_theta),
+            best_cost=jnp.where(improved, total0, state.best_cost),
+            found_cf=state.found_cf | cf,
+            cf_count=cf_count,
+            done=done,
+            reuse_theta=cand[1:][keep],
+            **_record(state, it, total0,
+                      (parts[0][0], parts[1][0], parts[2][0]), cf),
+        )
+
+    return propose, apply_update
 
 
 def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
@@ -155,6 +244,9 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
             **extra_updates,
         )
 
+    propose, apply_update = _make_stomp_phases(robot, cfg, ops, project,
+                                               sigma0)
+
     def stomp_step(state: SolverState) -> SolverState:
         # Latency-critical structure: ONE batched FK+SDF evaluation per
         # iteration. The current θ rides along as zero-noise candidate 0, so
@@ -163,62 +255,12 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         # instead of a second serial evaluation of the post-update θ as in
         # the reference flow (bookkeeping for iterate i thus happens at the
         # start of iteration i, same values, half the serial latency).
-        it = state.iteration
-        decay = jnp.power(jnp.float32(cfg.noise.decay), it.astype(jnp.float32))
-        sigma = sigma0 * decay
-        key, k_noise = jax.random.split(state.key)
-
-        eps_new = sample_noise(k_noise, ops.L_sample, sigma, cfg.num_rollouts)
-        cand = jnp.concatenate(
-            [state.theta[None], state.theta[None] + eps_new,
-             state.reuse_theta], axis=0)
-        # per-rollout joint limits (see config.rollout_limit_projection)
-        if cfg.rollout_limit_projection == "smooth":
-            cand = jax.vmap(project)(cand)
-        else:
-            cand = jnp.where(robot.joint_limited[None, None, :],
-                             jnp.clip(cand, robot.joint_lower[None, None, :],
-                                      robot.joint_upper[None, None, :]),
-                             cand)
-        eps = cand - state.theta[None]                 # re-centered noise (A.3)
-
+        key, cand = propose(state)
         # [1+Ktot, N+2] rows; slot 0 is the current trajectory
         S_all, ctrl_all, margins, cand_total, parts = _evaluate_batch(
             robot, world, constraints, cfg, ops, q0, qN, cand)
-
-        # --- bookkeeping on the current θ (slot 0) --------------------- A.12
-        total0 = cand_total[0]
-        cf = margins[0] > cfg.collision_threshold
-        cf_count = jnp.where(cf, state.cf_count + 1, jnp.int32(0))
-        improved = cf & (total0 < state.best_cost)
-        done = ((it + 1 >= cfg.max_iterations)
-                | (cf_count >= cfg.max_iterations_after_collision_free))
-
-        # --- PI² update from the noisy candidates (slots 1:) ------- A.9/A.10
-        S_used = S_all[1:]
-        if cfg.pi2_include_control_cost:
-            S_used = S_used + cfg.weights.smoothness * ctrl_all[1:]
-        if cfg.pi2_cost_mode == "cumulative":
-            # cost-to-go: S(t) = sum_{t'>=t} q(t') (PI^2 proper; see config)
-            S_used = jnp.cumsum(S_used[:, ::-1], axis=1)[:, ::-1]
-        delta = pi2.update(eps[1:], S_used[:, 1:-1], ops.M, cfg.pi2_h)
-        theta_new = project(state.theta + delta)
-
-        # rollout reuse: keep the lowest-total-cost noisy candidates (A.3)
-        _, keep = jax.lax.top_k(-cand_total[1:], cfg.noise.num_rollouts_reused)
-        return state.replace(
-            theta=theta_new,
-            key=key,
-            iteration=it + 1,
-            best_theta=jnp.where(improved, state.theta, state.best_theta),
-            best_cost=jnp.where(improved, total0, state.best_cost),
-            found_cf=state.found_cf | cf,
-            cf_count=cf_count,
-            done=done,
-            reuse_theta=cand[1:][keep],
-            **_record(state, it, total0,
-                      (parts[0][0], parts[1][0], parts[2][0]), cf),
-        )
+        return apply_update(state, key, cand, S_all, ctrl_all, margins,
+                            cand_total, parts)
 
     def chomp_step(state: SolverState) -> SolverState:
         full = full_trajectory(state.theta, q0, qN)
@@ -393,6 +435,94 @@ def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     state = run_until(robot, world, constraints, cfg, ops, q0, qN, state,
                       jnp.int32(cfg.max_iterations))
     return finalize(robot, world, constraints, cfg, ops, q0, qN, state)
+
+
+def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
+                    ops: DeviceOps, Q0, QN):
+    """One STOMP iteration over a leading scenario axis (Q0/QN: [B, d]).
+
+    Per-scenario numerics are identical to `make_step`'s stomp_step — both
+    compose the same `_make_stomp_phases` helpers — the difference is purely
+    execution layout: all B scenarios' candidate sets are flattened into ONE
+    fused-kernel launch. Under plain `jax.vmap(solve)` the pallas_call's
+    batching rule adds a grid dimension, so every scenario's 1+K+reuse
+    candidates (56 at config defaults) are padded to the kernel tile
+    separately — 56→128 lanes in the time-major layout, 2.3× wasted work
+    (measured: +23% end-to-end at B=256). Flattening packs 56·B candidates
+    into full tiles with one pad at the very end.
+    """
+    sigma0 = jnp.asarray(cfg.noise_stddevs(robot.num_joints), jnp.float32)
+    project = lambda th: project_limits(th, robot.joint_lower,
+                                        robot.joint_upper,
+                                        robot.joint_limited, ops.Rinv,
+                                        cfg.joint_limit_iterations,
+                                        cfg.joint_limit_method)
+    propose, apply_update = _make_stomp_phases(robot, cfg, ops, project,
+                                               sigma0)
+    propose_v = jax.vmap(propose)
+    apply_v = jax.vmap(apply_update)
+
+    from tpustomp.costs.smoothness import smoothness_cost_per_timestep_batch
+
+    def evaluate_all(cands):
+        """cands [B, C, N, d] -> the _evaluate_batch tuple with a leading
+        scenario axis on every element."""
+        if cfg.obstacle_backend != "pallas":
+            # XLA path: flattening buys nothing (no tile padding); keep the
+            # per-scenario evaluation, bit-identical to vmap(solve).
+            return jax.vmap(lambda th, a, b: _evaluate_batch(
+                robot, world, constraints, cfg, ops, a, b, th))(cands, Q0, QN)
+        B, C = cands.shape[0], cands.shape[1]
+        fulls = jax.vmap(lambda th, a, b: jax.vmap(
+            lambda t: full_trajectory(t, a, b))(th))(cands, Q0, QN)
+        ctrl_t = jax.vmap(lambda th, a, b: smoothness_cost_per_timestep_batch(
+            ops, th, a, b))(cands, Q0, QN)
+        T = fulls.shape[2]
+        S, ctrl, margins, totals, parts = _evaluate_fulls_pallas(
+            robot, world, constraints, cfg,
+            fulls.reshape(B * C, T, -1), ctrl_t.reshape(B * C, T))
+        rs = lambda x: x.reshape((B, C) + x.shape[1:])
+        return (rs(S), rs(ctrl), rs(margins), rs(totals),
+                tuple(rs(p) for p in parts))
+
+    def step(stateB: SolverState) -> SolverState:
+        keys, cands = propose_v(stateB)
+        outs = evaluate_all(cands)
+        new = apply_v(stateB, keys, cands, *outs)
+        # freeze finished scenarios — the same per-element select that
+        # jax.vmap(lax.while_loop) applies, so results match vmap(solve)
+        B = stateB.done.shape[0]
+        mask = lambda o, n: jnp.where(
+            stateB.done.reshape((B,) + (1,) * (n.ndim - 1)), o, n)
+        return jax.tree.map(mask, stateB, new)
+
+    return step
+
+
+def solve_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
+                ops: DeviceOps, Q0: jnp.ndarray, QN: jnp.ndarray,
+                keys: jax.Array, theta0: jnp.ndarray | None = None
+                ) -> Solution:
+    """Batched planning (BASELINE config 4): B scenarios to termination.
+
+    Per-scenario results match `jax.vmap(solve)` (tested); execution flattens
+    all scenarios' candidates into one fused-kernel launch per iteration
+    (see make_step_batch). STOMP mode only — CHOMP/HMC scenarios evaluate
+    one candidate each, where plain vmap already packs tiles via the
+    batching-rule grid axis; callers fall back to vmap(solve) there.
+    """
+    assert cfg.mode == "stomp", "solve_batch is the STOMP batched path"
+    QN = jax.vmap(lambda a, b: wrap_goal(a, b, robot.joint_limited))(Q0, QN)
+    if theta0 is None:
+        init = jax.vmap(lambda a, b, k: init_state(robot, cfg, a, b, k)
+                        )(Q0, QN, keys)
+    else:
+        init = jax.vmap(lambda a, b, k, t: init_state(robot, cfg, a, b, k, t)
+                        )(Q0, QN, keys, theta0)
+    step = make_step_batch(robot, world, constraints, cfg, ops, Q0, QN)
+    stateB = jax.lax.while_loop(lambda s: jnp.any(~s.done), step, init)
+    return jax.vmap(lambda a, b, s: finalize(robot, world, constraints, cfg,
+                                             ops, a, b, s))(Q0, QN, stateB)
 
 
 def select_best(sols: Solution) -> Solution:

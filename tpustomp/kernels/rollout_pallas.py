@@ -349,7 +349,8 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                           interpret: bool = False,
                           tile_c: int | None = None,
                           skip_rotf: bool = False,
-                          time_major: bool = False):
+                          time_major: bool = False,
+                          per_cand_world: bool = False):
     """Scratch-free fused evaluator: UNROLLED joint loop, each link's bodies
     evaluated inline while the frame is live in registers.
 
@@ -641,7 +642,9 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
             box_half=jnp.full((1, 3), 1e-3, jnp.float32))
     shapes = (d, robot.body_link.shape[0], world.sphere_radius.shape[0],
               world.box_half.shape[0], T)
-    if unrolled:
+    import os
+    layout = os.environ.get("TPUSTOMP_PALLAS_LAYOUT", "tm")
+    if unrolled and layout == "tm":
         # time-major [T, tile] blocks: 2.46x over the candidate-major
         # default it replaced (1.26 vs 3.10 ms for 14336x102x13 on v5e,
         # bit-identical; VERDICT r1 item 10 / docs/PERFORMANCE.md) — at
@@ -657,6 +660,13 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
                                    tile_c=tm_tile, time_major=True,
                                    skip_rotf=robot.rot_fixed_identity)
         q_obs, margin_row = fn(padded_tm, robot, world)
+        return q_obs[:C], jnp.min(margin_row[:C], axis=1)
+    if unrolled:
+        fn = build_unrolled_kernel(shapes, dt, clearance, robot.body_counts,
+                                   mode="analytic", interpret=interpret,
+                                   tile_c=tile, time_major=False,
+                                   skip_rotf=robot.rot_fixed_identity)
+        q_obs, margin_row = fn(padded, robot, world)
         return q_obs[:C], jnp.min(margin_row[:C], axis=1)
     fn = build_rollout_kernel(shapes, dt, clearance, interpret=interpret,
                               tile_c=tile,
