@@ -92,6 +92,29 @@ def run(C=128, T=102, seed=0):
         "max_abs_dmargin": float(np.abs(m - comp_ref_m).max()),
     }
     log(f"parity composite_hybrid: {out['composite_hybrid']}")
+    # per-candidate worlds (batched-MPC form): every candidate carries its
+    # own primitives; reference = XLA per candidate with that world
+    from tpustomp.costs.obstacle import obstacle_cost
+    from tpustomp.world.sdf import AnalyticWorld
+    centers = jnp.asarray(rng.uniform(-0.6, 0.8, (C, 2, 3)), jnp.float32)
+    radii = jnp.asarray(rng.uniform(0.05, 0.3, (C, 2)), jnp.float32)
+    wpc = AnalyticWorld(
+        sphere_center=centers, sphere_radius=radii,
+        box_center=jnp.broadcast_to(world.box_center, (C,) + world.box_center.shape),
+        box_half=jnp.broadcast_to(world.box_half, (C,) + world.box_half.shape))
+    pc_ref_q, pc_ref_m = jax.jit(jax.vmap(
+        lambda f, w: obstacle_cost(robot, w, f, dt, clearance)
+    ))(fulls, wpc)
+    q, m = _pallas(robot, wpc, fulls, dt, clearance)
+    pc_ref_q, pc_ref_m = np.asarray(pc_ref_q), np.asarray(pc_ref_m)
+    out["analytic_per_candidate_world"] = {
+        "max_abs_dq": float(np.abs(q - pc_ref_q).max()),
+        "max_rel_dq": float(np.abs(q - pc_ref_q).max()
+                            / max(float(np.abs(pc_ref_q).max()), 1e-6)),
+        "max_abs_dmargin": float(np.abs(m - pc_ref_m).max()),
+    }
+    log(f"parity analytic_per_candidate_world: "
+        f"{out['analytic_per_candidate_world']}")
     # fp32 reassociation tolerance: fail loudly if the compiled kernels have
     # actually diverged from the XLA semantics
     out["pass"] = all(v["max_rel_dq"] < 1e-3 and v["max_abs_dmargin"] < 1e-4

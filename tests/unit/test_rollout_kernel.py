@@ -179,3 +179,57 @@ def test_composite_hybrid_matches_xla_path():
         np.testing.assert_allclose(np.asarray(q_obs[c]), np.asarray(q_ref),
                                    atol=2e-6)
         assert abs(float(margin[c]) - float(m_ref)) < 2e-6
+
+
+def test_per_candidate_worlds_match_per_candidate_xla():
+    """per_cand_world: each candidate evaluated against ITS OWN analytic
+    primitives (the flat execution form of per-scenario MPC worlds) must
+    match the XLA path run candidate-by-candidate with that world."""
+    robot = model.arm_7dof()
+    T, d, C = 30, robot.num_joints, 10
+    dt, clearance = 0.05, 0.08
+    rng = np.random.default_rng(3)
+    cand = jnp.asarray(rng.uniform(-1.2, 1.2, (C, T, d)), jnp.float32)
+    centers = jnp.asarray(rng.uniform(-0.8, 0.8, (C, 2, 3)), jnp.float32)
+    radii = jnp.asarray(rng.uniform(0.05, 0.3, (C, 2)), jnp.float32)
+    bc = jnp.asarray(rng.uniform(-0.8, 0.8, (C, 1, 3)), jnp.float32)
+    bh = jnp.asarray(rng.uniform(0.05, 0.4, (C, 1, 3)), jnp.float32)
+    world_pc = AnalyticWorld(sphere_center=centers, sphere_radius=radii,
+                             box_center=bc, box_half=bh)
+
+    q_obs, margin = rp.obstacle_cost_batch_pallas(
+        robot, world_pc, cand, dt, clearance, interpret=True)
+
+    for c in range(C):
+        w = AnalyticWorld(sphere_center=centers[c], sphere_radius=radii[c],
+                          box_center=bc[c], box_half=bh[c])
+        q_ref, m_ref = obst.obstacle_cost(robot, w, cand[c], dt, clearance)
+        np.testing.assert_allclose(np.asarray(q_obs[c]), np.asarray(q_ref),
+                                   atol=2e-6, err_msg=f"cand {c}")
+        assert abs(float(margin[c]) - float(m_ref)) < 1e-6
+
+
+def test_per_candidate_worlds_empty_boxes():
+    """Per-candidate worlds with an empty primitive family use sentinel
+    rows; spheres-only and boxes-only both run."""
+    robot = model.planar_2r()
+    T, d, C = 18, robot.num_joints, 5
+    rng = np.random.default_rng(4)
+    cand = jnp.asarray(rng.uniform(-1.5, 1.5, (C, T, d)), jnp.float32)
+    centers = jnp.asarray(rng.uniform(-1.0, 1.0, (C, 1, 3)), jnp.float32)
+    radii = jnp.asarray(np.full((C, 1), 0.2), jnp.float32)
+    world_pc = AnalyticWorld(
+        sphere_center=centers, sphere_radius=radii,
+        box_center=jnp.zeros((C, 0, 3), jnp.float32),
+        box_half=jnp.zeros((C, 0, 3), jnp.float32))
+    q_obs, margin = rp.obstacle_cost_batch_pallas(
+        robot, world_pc, cand, 0.05, 0.08, interpret=True)
+    for c in range(C):
+        w = AnalyticWorld(
+            sphere_center=centers[c], sphere_radius=radii[c],
+            box_center=jnp.zeros((0, 3), jnp.float32),
+            box_half=jnp.zeros((0, 3), jnp.float32))
+        q_ref, m_ref = obst.obstacle_cost(robot, w, cand[c], 0.05, 0.08)
+        np.testing.assert_allclose(np.asarray(q_obs[c]), np.asarray(q_ref),
+                                   atol=2e-6)
+        assert abs(float(margin[c]) - float(m_ref)) < 1e-6

@@ -162,12 +162,106 @@ def run_mpc(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     return state
 
 
+def _tick_world_batch(centers, sphere_radius, static_world):
+    """Batched `_tick_world`: centers [B, S, 3] -> a world whose analytic /
+    overlay leaves carry the scenario axis (solver.solve_batch
+    world_batched=True; the kernel runs per-candidate world parameters)."""
+    B = centers.shape[0]
+    rad = jnp.broadcast_to(sphere_radius, (B,) + sphere_radius.shape)
+    moving = AnalyticWorld(
+        sphere_center=centers, sphere_radius=rad,
+        box_center=jnp.zeros((B, 0, 3), jnp.float32),
+        box_half=jnp.zeros((B, 0, 3), jnp.float32))
+    if static_world is None:
+        return moving
+    if isinstance(static_world, GridSDF):
+        return CompositeWorld(grid=static_world, overlay=moving)
+    bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    return AnalyticWorld(
+        sphere_center=jnp.concatenate(
+            [centers, bcast(static_world.sphere_center)], axis=1),
+        sphere_radius=jnp.concatenate(
+            [rad, bcast(static_world.sphere_radius)], axis=1),
+        box_center=bcast(static_world.box_center),
+        box_half=bcast(static_world.box_half))
+
+
+def mpc_step_batch(robot: RobotSpec, cfg: PlannerConfig, ops,
+                   state: MPCState, sphere_radius: jnp.ndarray,
+                   world_dt: float, static_world=None) -> MPCState:
+    """Batched `mpc_step`: state leaves carry a leading [B] scenario axis.
+
+    Per-scenario semantics match mpc_step; the replan goes through
+    solver.solve_batch with per-scenario worlds, so all scenarios' rollout
+    candidates share ONE fused-kernel launch per solver iteration instead
+    of paying per-scenario tile padding under vmap (docs/PERFORMANCE.md,
+    fused batched execution)."""
+    from tpustomp.robot.fk import body_positions
+    from tpustomp.world.sdf import sdf
+
+    centers = state.sphere_center + state.sphere_vel * world_dt   # [B, S, 3]
+    worldB = _tick_world_batch(centers, sphere_radius, static_world)
+
+    q_next = state.theta[:, 0]                                     # [B, d]
+    theta0 = jax.vmap(_shift_warm_start)(state.theta, state.qN)
+    keys = jax.vmap(jax.random.split)(state.key)
+    key, sub = keys[:, 0], keys[:, 1]
+    sol = solver.solve_batch(robot, worldB, None, cfg, ops, q_next, state.qN,
+                             sub, theta0=theta0, world_batched=True)
+    theta_new = sol.trajectory[:, 1:-1]
+
+    # executed-segment collision check (see mpc_step), vmapped per scenario
+    alphas = jnp.linspace(0.0, 1.0, _SEGMENT_CHECK_SAMPLES + 1)[1:]
+    qs = (state.q[:, None, :]
+          + alphas[None, :, None] * (q_next - state.q)[:, None, :])
+
+    def seg_margin(qrow, w):
+        x = jax.vmap(lambda q: body_positions(robot, q))(qrow)
+        return jnp.min(sdf(w, x) - robot.body_radius)
+
+    waxes = (CompositeWorld(grid=None, overlay=0)
+             if isinstance(worldB, CompositeWorld) else 0)
+    margin = jax.vmap(seg_margin, in_axes=(0, waxes))(qs, worldB)
+    return state.replace(
+        q=q_next,
+        theta=theta_new,
+        sphere_center=centers,
+        key=key,
+        steps=state.steps + 1,
+        collided=state.collided | (margin <= 0.0),
+    )
+
+
+def run_mpc_batch(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
+                  sphere_radius, num_ticks: int, world_dt: float,
+                  static_world=None) -> MPCState:
+    """Batched run_mpc: state leaves carry a leading [B] scenario axis."""
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+
+    def tick(s, _):
+        return mpc_step_batch(robot, cfg, ops, s, sphere_radius, world_dt,
+                              static_world), None
+
+    state, _ = jax.lax.scan(tick, state, None, length=num_ticks)
+    return state
+
+
 @functools.lru_cache(maxsize=8)
 def _sharded_mpc(cfg: PlannerConfig, mesh, num_ticks: int, world_dt: float):
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
     replicated = NamedSharding(mesh, P())
 
     def run(robot, state, sphere_radius, static_world):
+        # STOMP scenarios replan through the flat batched solver (one fused
+        # kernel launch across all scenarios' candidates per iteration);
+        # per-candidate analytic worlds need the unrolled kernel, so robots
+        # without a static body partition fall back to plain vmap. Both
+        # branches resolve at trace time.
+        if cfg.mode == "stomp" and (
+                cfg.obstacle_backend != "pallas"
+                or getattr(robot, "body_counts", None) is not None):
+            return run_mpc_batch(robot, cfg, state, sphere_radius, num_ticks,
+                                 world_dt, static_world)
         return jax.vmap(
             lambda s: run_mpc(robot, cfg, s, sphere_radius, num_ticks,
                               world_dt, static_world)

@@ -437,8 +437,30 @@ def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     return finalize(robot, world, constraints, cfg, ops, q0, qN, state)
 
 
+def _batched_world_parts(world, world_batched: bool):
+    """(vmap in_axes prefix, per-candidate expander) for a possibly
+    per-scenario world.
+
+    world_batched=True means the analytic/overlay leaves carry a leading
+    scenario axis [B, ...] (MPC moving obstacles — each scenario sees its
+    own world). A CompositeWorld's grid stays shared/replicated; only the
+    overlay is per-scenario."""
+    from tpustomp.world.sdf import CompositeWorld
+
+    if not world_batched:
+        return None, lambda w, C: w
+    if isinstance(world, CompositeWorld):
+        axes = CompositeWorld(grid=None, overlay=0)
+        expand = lambda w, C: CompositeWorld(
+            grid=w.grid,
+            overlay=jax.tree.map(lambda x: jnp.repeat(x, C, axis=0),
+                                 w.overlay))
+        return axes, expand
+    return 0, lambda w, C: jax.tree.map(lambda x: jnp.repeat(x, C, axis=0), w)
+
+
 def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
-                    ops: DeviceOps, Q0, QN):
+                    ops: DeviceOps, Q0, QN, world_batched: bool = False):
     """One STOMP iteration over a leading scenario axis (Q0/QN: [B, d]).
 
     Per-scenario numerics are identical to `make_step`'s stomp_step — both
@@ -450,6 +472,11 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     separately — 56→128 lanes in the time-major layout, 2.3× wasted work
     (measured: +23% end-to-end at B=256). Flattening packs 56·B candidates
     into full tiles with one pad at the very end.
+
+    world_batched: the world's analytic/overlay leaves carry a leading
+    scenario axis (per-scenario moving obstacles, MPC); the flat kernel
+    launch then runs with per-candidate world parameters
+    (kernels/rollout_pallas.py per_cand_world).
     """
     sigma0 = jnp.asarray(cfg.noise_stddevs(robot.num_joints), jnp.float32)
     project = lambda th: project_limits(th, robot.joint_lower,
@@ -464,14 +491,19 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
 
     from tpustomp.costs.smoothness import smoothness_cost_per_timestep_batch
 
+    world_axes, expand_world = _batched_world_parts(world, world_batched)
+
     def evaluate_all(cands):
         """cands [B, C, N, d] -> the _evaluate_batch tuple with a leading
         scenario axis on every element."""
         if cfg.obstacle_backend != "pallas":
             # XLA path: flattening buys nothing (no tile padding); keep the
             # per-scenario evaluation, bit-identical to vmap(solve).
-            return jax.vmap(lambda th, a, b: _evaluate_batch(
-                robot, world, constraints, cfg, ops, a, b, th))(cands, Q0, QN)
+            return jax.vmap(
+                lambda th, a, b, w: _evaluate_batch(
+                    robot, w, constraints, cfg, ops, a, b, th),
+                in_axes=(0, 0, 0, world_axes),
+            )(cands, Q0, QN, world)
         B, C = cands.shape[0], cands.shape[1]
         fulls = jax.vmap(lambda th, a, b: jax.vmap(
             lambda t: full_trajectory(t, a, b))(th))(cands, Q0, QN)
@@ -479,7 +511,7 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
             ops, th, a, b))(cands, Q0, QN)
         T = fulls.shape[2]
         S, ctrl, margins, totals, parts = _evaluate_fulls_pallas(
-            robot, world, constraints, cfg,
+            robot, expand_world(world, C), constraints, cfg,
             fulls.reshape(B * C, T, -1), ctrl_t.reshape(B * C, T))
         rs = lambda x: x.reshape((B, C) + x.shape[1:])
         return (rs(S), rs(ctrl), rs(margins), rs(totals),
@@ -501,8 +533,8 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
 
 def solve_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                 ops: DeviceOps, Q0: jnp.ndarray, QN: jnp.ndarray,
-                keys: jax.Array, theta0: jnp.ndarray | None = None
-                ) -> Solution:
+                keys: jax.Array, theta0: jnp.ndarray | None = None,
+                world_batched: bool = False) -> Solution:
     """Batched planning (BASELINE config 4): B scenarios to termination.
 
     Per-scenario results match `jax.vmap(solve)` (tested); execution flattens
@@ -510,6 +542,9 @@ def solve_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     (see make_step_batch). STOMP mode only — CHOMP/HMC scenarios evaluate
     one candidate each, where plain vmap already packs tiles via the
     batching-rule grid axis; callers fall back to vmap(solve) there.
+
+    world_batched=True: world analytic/overlay leaves carry a leading [B]
+    scenario axis (per-scenario worlds — MPC moving obstacles).
     """
     assert cfg.mode == "stomp", "solve_batch is the STOMP batched path"
     QN = jax.vmap(lambda a, b: wrap_goal(a, b, robot.joint_limited))(Q0, QN)
@@ -519,10 +554,14 @@ def solve_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     else:
         init = jax.vmap(lambda a, b, k, t: init_state(robot, cfg, a, b, k, t)
                         )(Q0, QN, keys, theta0)
-    step = make_step_batch(robot, world, constraints, cfg, ops, Q0, QN)
+    step = make_step_batch(robot, world, constraints, cfg, ops, Q0, QN,
+                           world_batched=world_batched)
     stateB = jax.lax.while_loop(lambda s: jnp.any(~s.done), step, init)
-    return jax.vmap(lambda a, b, s: finalize(robot, world, constraints, cfg,
-                                             ops, a, b, s))(Q0, QN, stateB)
+    world_axes, _ = _batched_world_parts(world, world_batched)
+    return jax.vmap(
+        lambda a, b, s, w: finalize(robot, w, constraints, cfg, ops, a, b, s),
+        in_axes=(0, 0, 0, world_axes),
+    )(Q0, QN, stateB, world)
 
 
 def select_best(sols: Solution) -> Solution:

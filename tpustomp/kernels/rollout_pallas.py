@@ -373,6 +373,14 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
     wastes only 2/104 sublanes and fills all 128 lanes at tile=128; the
     time-axis coupling becomes sublane rolls. Measured on v5e: see
     docs/PERFORMANCE.md (kept non-default unless it wins).
+
+    per_cand_world (analytic + time_major only): every CANDIDATE carries its
+    own world primitives — sphere/box parameter rows become [S, 4|6, tile]
+    VMEM blocks (lane = candidate) instead of shared SMEM scalars, and the
+    distance math broadcasts [1, tile] rows against the [T, tile] fields.
+    This is what lets the batched MPC loop (per-scenario moving obstacles,
+    SURVEY config 5) share the flat scenarios×candidates layout of
+    solver.solve_batch instead of paying per-scenario tile padding.
     """
     if mode == "analytic":
         d, n_bodies, n_spheres, n_boxes, T = shapes
@@ -380,6 +388,9 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
         d, n_bodies, T = shapes
         n_spheres = n_boxes = 0
         assert not time_major, "time_major implemented for analytic mode"
+    if per_cand_world:
+        assert mode == "analytic" and time_major, \
+            "per-candidate worlds need the analytic time-major kernel"
     tile = tile_c or (128 if time_major else TILE_C)
     offsets = [0]
     for c in body_counts:
@@ -457,25 +468,51 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                     continue
                 dist = mzero + 1e6
 
-                def sphere_fn(sidx, dist):
-                    r0 = bx0 - sph_ref[sidx, 0]
-                    r1 = bx1 - sph_ref[sidx, 1]
-                    r2 = bx2 - sph_ref[sidx, 2]
-                    ds = (jnp.sqrt(r0 * r0 + r1 * r1 + r2 * r2)
-                          - sph_ref[sidx, 3])
-                    return jnp.minimum(dist, ds)
+                if per_cand_world:
+                    # [1, tile] parameter rows (lane = candidate) broadcast
+                    # against the [T, tile] position fields
+                    def sphere_fn(sidx, dist):
+                        r0 = bx0 - sph_ref[sidx, 0:1, :]
+                        r1 = bx1 - sph_ref[sidx, 1:2, :]
+                        r2 = bx2 - sph_ref[sidx, 2:3, :]
+                        ds = (jnp.sqrt(r0 * r0 + r1 * r1 + r2 * r2)
+                              - sph_ref[sidx, 3:4, :])
+                        return jnp.minimum(dist, ds)
 
-                def box_fn(bidx, dist):
-                    q0 = jnp.abs(bx0 - box_ref[bidx, 0]) - box_ref[bidx, 3]
-                    q1 = jnp.abs(bx1 - box_ref[bidx, 1]) - box_ref[bidx, 4]
-                    q2 = jnp.abs(bx2 - box_ref[bidx, 2]) - box_ref[bidx, 5]
-                    w0 = jnp.maximum(q0, 0.0)
-                    w1 = jnp.maximum(q1, 0.0)
-                    w2 = jnp.maximum(q2, 0.0)
-                    outside = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
-                    inside = jnp.minimum(
-                        jnp.maximum(jnp.maximum(q0, q1), q2), 0.0)
-                    return jnp.minimum(dist, outside + inside)
+                    def box_fn(bidx, dist):
+                        q0 = (jnp.abs(bx0 - box_ref[bidx, 0:1, :])
+                              - box_ref[bidx, 3:4, :])
+                        q1 = (jnp.abs(bx1 - box_ref[bidx, 1:2, :])
+                              - box_ref[bidx, 4:5, :])
+                        q2 = (jnp.abs(bx2 - box_ref[bidx, 2:3, :])
+                              - box_ref[bidx, 5:6, :])
+                        w0 = jnp.maximum(q0, 0.0)
+                        w1 = jnp.maximum(q1, 0.0)
+                        w2 = jnp.maximum(q2, 0.0)
+                        outside = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
+                        inside = jnp.minimum(
+                            jnp.maximum(jnp.maximum(q0, q1), q2), 0.0)
+                        return jnp.minimum(dist, outside + inside)
+                else:
+                    def sphere_fn(sidx, dist):
+                        r0 = bx0 - sph_ref[sidx, 0]
+                        r1 = bx1 - sph_ref[sidx, 1]
+                        r2 = bx2 - sph_ref[sidx, 2]
+                        ds = (jnp.sqrt(r0 * r0 + r1 * r1 + r2 * r2)
+                              - sph_ref[sidx, 3])
+                        return jnp.minimum(dist, ds)
+
+                    def box_fn(bidx, dist):
+                        q0 = jnp.abs(bx0 - box_ref[bidx, 0]) - box_ref[bidx, 3]
+                        q1 = jnp.abs(bx1 - box_ref[bidx, 1]) - box_ref[bidx, 4]
+                        q2 = jnp.abs(bx2 - box_ref[bidx, 2]) - box_ref[bidx, 5]
+                        w0 = jnp.maximum(q0, 0.0)
+                        w1 = jnp.maximum(q1, 0.0)
+                        w2 = jnp.maximum(q2, 0.0)
+                        outside = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
+                        inside = jnp.minimum(
+                            jnp.maximum(jnp.maximum(q0, q1), q2), 0.0)
+                        return jnp.minimum(dist, outside + inside)
 
                 if n_spheres:
                     dist = jax.lax.fori_loop(0, n_spheres, sphere_fn, dist)
@@ -512,17 +549,32 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                   robot.joint_rot.reshape(d, 9).astype(f32), base,
                   robot.body_offset.astype(f32))
         if mode == "analytic":
-            sph = jnp.concatenate(
-                [world.sphere_center.reshape(-1, 3),
-                 world.sphere_radius.reshape(-1, 1)], axis=1).astype(f32)
-            box = jnp.concatenate(
-                [world.box_center.reshape(-1, 3),
-                 world.box_half.reshape(-1, 3)], axis=1).astype(f32)
+            if per_cand_world:
+                # [C, S, 3]+[C, S] world leaves -> [S, 4, C] lane rows
+                sph = jnp.transpose(jnp.concatenate(
+                    [world.sphere_center, world.sphere_radius[..., None]],
+                    axis=-1), (1, 2, 0)).astype(f32)
+                box = jnp.transpose(jnp.concatenate(
+                    [world.box_center, world.box_half], axis=-1),
+                    (1, 2, 0)).astype(f32)
+                world_specs = [
+                    pl.BlockSpec((n_spheres, 4, tile), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_boxes, 6, tile), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM)]
+            else:
+                sph = jnp.concatenate(
+                    [world.sphere_center.reshape(-1, 3),
+                     world.sphere_radius.reshape(-1, 1)], axis=1).astype(f32)
+                box = jnp.concatenate(
+                    [world.box_center.reshape(-1, 3),
+                     world.box_half.reshape(-1, 3)], axis=1).astype(f32)
+                world_specs = [smem, smem]
             if time_major:
                 q_obs_t, margin_t = pl.pallas_call(
                     kernel,
                     grid=(C // tile,),
-                    in_specs=[smem] * 9 + [
+                    in_specs=[smem] * 7 + world_specs + [
                         pl.BlockSpec((d, T, tile), lambda i: (0, 0, i),
                                      memory_space=pltpu.VMEM)],
                     out_specs=[
@@ -573,11 +625,19 @@ def _grid_finish(world, kin, dt: float, clearance: float, body_radius):
     (q_obs [C, T], margin_row [C, T]). Matches costs/obstacle.py numerics.
     Accepts GridSDF or CompositeWorld (sdf() min-composes the overlay).
     """
-    from tpustomp.world.sdf import sdf
+    from tpustomp.world.sdf import CompositeWorld, sdf
 
     pos = jnp.moveaxis(kin[:, :3], 1, -1)            # [B, C, T, 3]
     speed = kin[:, 3]                                # [B, C, T]
-    dist = sdf(world, pos)                           # [B, C, T]
+    if (isinstance(world, CompositeWorld)
+            and world.overlay.sphere_center.ndim == 3):
+        # per-candidate overlay (batched MPC): shared grid, [C, S, ...]
+        # overlay leaves vmapped over the candidate axis
+        d_grid = sdf(world.grid, pos)
+        d_ov = jax.vmap(sdf, in_axes=(0, 1), out_axes=1)(world.overlay, pos)
+        dist = jnp.minimum(d_grid, d_ov)             # [B, C, T]
+    else:
+        dist = sdf(world, pos)                       # [B, C, T]
     radius = body_radius[:, None, None]
     d_sig = dist - radius - clearance
     pot = jnp.where(
@@ -598,6 +658,14 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
     the (possibly traced) arrays; values stay traced. Analytic worlds run
     fully fused; grid and composite (grid+overlay) worlds run the hybrid
     kinematics kernel + XLA gather/min-compose tail.
+
+    PER-CANDIDATE WORLDS: analytic/overlay leaves may carry a leading
+    candidate axis (sphere_center [C, S, 3] instead of [S, 3]) — every
+    candidate is evaluated against its own primitives. This is the flat
+    execution form of "one world per scenario" (batched MPC with moving
+    obstacles): solver.solve_batch repeats each scenario's world across its
+    candidates before flattening. Analytic per-candidate worlds need the
+    unrolled time-major kernel (per_cand_world=True).
     """
     from tpustomp.world.sdf import CompositeWorld, GridSDF
 
@@ -608,11 +676,22 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
         [full_trajs, jnp.broadcast_to(full_trajs[:1], (pad, T, d))], axis=0) \
         if pad else full_trajs
 
+    def _pad_cand_axis(x, n):
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (n,) + x.shape[1:])], axis=0) \
+            if n else x
+
     # static body partition available (RobotSpec link-sorts at construction)
     # -> scratch-free unrolled kernel; else the rolled/staged fallback
     unrolled = getattr(robot, "body_counts", None) is not None
 
     if isinstance(world, (GridSDF, CompositeWorld)):
+        if (isinstance(world, CompositeWorld)
+                and world.overlay.sphere_center.ndim == 3):
+            world = CompositeWorld(
+                grid=world.grid,
+                overlay=jax.tree.map(lambda x: _pad_cand_axis(x, pad),
+                                     world.overlay))
         if unrolled:
             shapes = (d, robot.body_link.shape[0], T)
             fn = build_unrolled_kernel(shapes, dt, clearance,
@@ -628,6 +707,33 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
             kin = fn(padded, robot)
         q_obs, margin_row = _grid_finish(world, kin, dt, clearance,
                                          robot.body_radius.astype(jnp.float32))
+        return q_obs[:C], jnp.min(margin_row[:C], axis=1)
+
+    per_cand = world.sphere_center.ndim == 3
+    if per_cand:
+        assert unrolled, ("per-candidate analytic worlds need the unrolled "
+                          "time-major kernel (robot lacks body_counts)")
+        # per-candidate empty-set sentinels, then pad the candidate axis
+        if world.sphere_radius.shape[-1] == 0:
+            world = world.replace(
+                sphere_center=jnp.full((C, 1, 3), 1e6, jnp.float32),
+                sphere_radius=jnp.zeros((C, 1), jnp.float32))
+        if world.box_half.shape[-1] == 0 or world.box_half.shape[-2] == 0:
+            world = world.replace(
+                box_center=jnp.full((C, 1, 3), 1e6, jnp.float32),
+                box_half=jnp.full((C, 1, 3), 1e-3, jnp.float32))
+        tm_tile = 128 if tile_c is None else tile
+        tm_pad = (-C) % tm_tile
+        padded_tm = _pad_cand_axis(full_trajs, tm_pad)
+        world = jax.tree.map(lambda x: _pad_cand_axis(x, tm_pad), world)
+        shapes = (d, robot.body_link.shape[0],
+                  world.sphere_radius.shape[-1], world.box_half.shape[-2], T)
+        fn = build_unrolled_kernel(shapes, dt, clearance, robot.body_counts,
+                                   mode="analytic", interpret=interpret,
+                                   tile_c=tm_tile, time_major=True,
+                                   per_cand_world=True,
+                                   skip_rotf=robot.rot_fixed_identity)
+        q_obs, margin_row = fn(padded_tm, robot, world)
         return q_obs[:C], jnp.min(margin_row[:C], axis=1)
 
     # zero-length SMEM operands break Mosaic layout verification; pad empty
