@@ -19,8 +19,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "oracle"))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TPUSTOMP_TPU_TESTS=1 leaves the ambient (TPU) backend in place so the
+# `tpu`-marked hardware gate tests can run compiled Mosaic kernels:
+#   TPUSTOMP_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+# Default (driver CI): everything on 8 virtual CPU devices; tpu-marked
+# tests skip themselves (platform is cpu).
+_TPU_MODE = os.environ.get("TPUSTOMP_TPU_TESTS") == "1"
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
-assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+if not _TPU_MODE:
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
+    assert jax.device_count() == 8, "expected 8 virtual CPU devices"

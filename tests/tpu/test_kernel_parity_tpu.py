@@ -1,0 +1,51 @@
+"""Hardware gate: compiled Mosaic kernels == XLA semantics, AS A TEST.
+
+VERDICT r2 item 10: the CPU suite runs the Pallas kernels in interpret mode
+only, so a Mosaic-only breakage used to surface as a bench artifact diff
+rather than a failing test. This module turns `bench/kernel_parity.py` into
+a pytest gate that fails loudly when hardware is present:
+
+    TPUSTOMP_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+On CPU (the driver's default `pytest tests/` run) the tests auto-skip.
+First TPU compile of all kernel variants takes minutes through the relay;
+the persistent compile cache makes reruns fast.
+"""
+
+import jax
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+_ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+@pytest.fixture(scope="module")
+def parity_report():
+    if not _ON_TPU:
+        pytest.skip("kernel parity gate needs a real TPU "
+                    "(run with TPUSTOMP_TPU_TESTS=1 ... -m tpu)")
+    import os
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    sys.path.insert(0, repo)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    from bench.kernel_parity import run
+    return run()
+
+
+_VARIANTS = ("analytic_unrolled", "analytic_rolled", "grid_hybrid",
+             "composite_hybrid", "analytic_per_candidate_world")
+
+
+@pytest.mark.parametrize("variant", _VARIANTS)
+def test_compiled_kernel_matches_xla(parity_report, variant):
+    r = parity_report[variant]
+    assert r["max_rel_dq"] < 1e-3, (variant, r)
+    assert r["max_abs_dmargin"] < 1e-4, (variant, r)
+
+
+def test_parity_gate_overall(parity_report):
+    assert parity_report["pass"] is True

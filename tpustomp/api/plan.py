@@ -42,6 +42,92 @@ def resolve_backend(cfg: PlannerConfig, robot, world) -> PlannerConfig:
     return cfg.replace(obstacle_backend="pallas" if use else "xla")
 
 
+_GOAL_KEY_SEED = 0x60A1   # fixed seed: goal selection is deterministic
+_GOAL_SAMPLES = 64
+
+
+def resolve_goal_tolerance(robot, world, cfg: PlannerConfig, q0, qN,
+                           tol_below, tol_above):
+    """Pick the goal configuration inside the per-joint tolerance band.
+
+    Reference equivalent: ``planKinematicPath`` extracting
+    ``req.goal_constraints.joint_constraints`` — a position per joint plus
+    tolerance_above/below; any endpoint within [qN − below, qN + above]
+    satisfies the goal (SURVEY §4.2 [M]). The reference plans to the
+    constraint position exactly; here the band is *used*: if the nominal
+    goal is joint-limit- or collision-infeasible, the nearest feasible
+    configuration in the band is selected (nominal + band-clipped nominal +
+    a fixed-seed uniform scan of the band, all checked in ONE vmapped
+    FK+SDF batch — negligible next to the solve). Wraparound composes: the
+    shortest angular path is taken first, the band rides the wrapped goal.
+
+    Returns the adjusted qN [d]. Pure; jit/vmap-able.
+    """
+    from tpustomp.engine.trajectory import wrap_goal
+    from tpustomp.robot.fk import body_positions
+    from tpustomp.world.sdf import sdf
+
+    qN = wrap_goal(q0, qN, robot.joint_limited)
+    lo = qN - jnp.broadcast_to(jnp.asarray(tol_below, jnp.float32), qN.shape)
+    hi = qN + jnp.broadcast_to(jnp.asarray(tol_above, jnp.float32), qN.shape)
+    # band ∩ joint limits (continuous joints keep the full band); an empty
+    # intersection collapses to its lower edge
+    lo = jnp.where(robot.joint_limited, jnp.maximum(lo, robot.joint_lower), lo)
+    hi = jnp.where(robot.joint_limited, jnp.minimum(hi, robot.joint_upper), hi)
+    hi = jnp.maximum(hi, lo)
+    u = jax.random.uniform(jax.random.PRNGKey(_GOAL_KEY_SEED),
+                           (_GOAL_SAMPLES, qN.shape[0]))
+    cands = jnp.concatenate(
+        [qN[None], jnp.clip(qN, lo, hi)[None], lo + u * (hi - lo)], axis=0)
+    cands = jnp.clip(cands, lo, hi)
+
+    def margin(q):
+        return jnp.min(sdf(world, body_positions(robot, q))
+                       - robot.body_radius)
+
+    margins = jax.vmap(margin)(cands)
+    feasible = margins > cfg.collision_threshold
+    d2 = jnp.sum((cands - qN) ** 2, axis=1)
+    # nearest feasible candidate (the nominal is candidate 0 with d2=0, so
+    # a feasible nominal always wins = exact reference behavior); if none
+    # feasible, the max-margin candidate (best-effort, like the reference's
+    # best-so-far failsafe)
+    nearest = jnp.argmin(jnp.where(feasible, d2, jnp.inf))
+    return jnp.where(jnp.any(feasible), cands[nearest],
+                     cands[jnp.argmax(margins)])
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_goal(cfg: PlannerConfig, batched: bool):
+    def run(robot, world, q0, qN, tb, ta):
+        if batched:
+            return jax.vmap(lambda a, b, x, y: resolve_goal_tolerance(
+                robot, world, cfg, a, b, x, y))(q0, qN, tb, ta)
+        return resolve_goal_tolerance(robot, world, cfg, q0, qN, tb, ta)
+
+    return jax.jit(run)
+
+
+def _apply_goal_tolerance(robot, world, problem: ProblemSpec,
+                          cfg: PlannerConfig, q0, qN, batched: bool):
+    """Resolve the goal band (if any) to a concrete qN. None tolerances mean
+    an exact goal and leave qN untouched."""
+    tb, ta = problem.goal_tolerance_below, problem.goal_tolerance_above
+    if tb is None and ta is None:
+        return qN
+    zeros = jnp.zeros(qN.shape[-1], jnp.float32)
+    tb = zeros if tb is None else jnp.asarray(tb, jnp.float32)
+    ta = zeros if ta is None else jnp.asarray(ta, jnp.float32)
+    if batched:
+        B = q0.shape[0]
+        tb = jnp.broadcast_to(tb, (B, qN.shape[-1])) if tb.ndim < 2 else tb
+        ta = jnp.broadcast_to(ta, (B, qN.shape[-1])) if ta.ndim < 2 else ta
+    else:
+        tb = jnp.broadcast_to(tb, qN.shape)
+        ta = jnp.broadcast_to(ta, qN.shape)
+    return _jitted_goal(cfg, batched)(robot, world, q0, qN, tb, ta)
+
+
 @functools.lru_cache(maxsize=32)
 def _jitted_solve(cfg: PlannerConfig, has_constraints: bool):
     def run(robot, world, constraints, ops, q0, qN, key):
@@ -97,6 +183,8 @@ def plan(robot: RobotSpec, world, problem: ProblemSpec,
     cfg = resolve_backend(cfg, robot, world)
     q0 = jnp.asarray(problem.q0, jnp.float32)
     qN = jnp.asarray(problem.qN, jnp.float32)
+    qN = _apply_goal_tolerance(robot, world, problem, cfg, q0, qN,
+                               batched=False)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
     sol = _jitted_solve(cfg, constraints is not None)(
         robot, world, constraints, ops, q0, qN, key)
@@ -137,6 +225,8 @@ def plan_timed(robot: RobotSpec, world, problem: ProblemSpec,
     cfg = resolve_backend(cfg, robot, world)
     q0 = jnp.asarray(problem.q0, jnp.float32)
     qN = jnp.asarray(problem.qN, jnp.float32)
+    qN = _apply_goal_tolerance(robot, world, problem, cfg, q0, qN,
+                               batched=False)
     # shortest-path goal for continuous joints (solver.solve does this
     # internally; this path drives init_state/run_until directly)
     from tpustomp.engine.trajectory import wrap_goal
@@ -191,6 +281,8 @@ def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), q0.shape[0])
     cfg = resolve_backend(cfg, robot, world)
+    qN = _apply_goal_tolerance(robot, world, problem, cfg, q0, qN,
+                               batched=True)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
     return _jitted_solve_batch(cfg, constraints is not None)(
         robot, world, constraints, ops, q0, qN, keys)

@@ -20,10 +20,23 @@ class ProblemSpec:
 
     q0, qN: [d] joint values (the reference's start_state / joint goal
     constraints). Batched problems stack a leading axis on both.
+
+    goal_tolerance_below / goal_tolerance_above: optional per-joint
+    tolerance band around qN — the reference's
+    ``req.goal_constraints.joint_constraints`` carry a position plus
+    tolerance_above/below, and any endpoint within
+    [qN − below, qN + above] satisfies the goal (SURVEY §4.2 [M]). A scalar
+    broadcasts over joints; None (default) means an exact goal. When a band
+    is given, the planner selects the feasible endpoint in the band nearest
+    the nominal (api/plan.resolve_goal_tolerance), so a goal that is
+    joint-limit- or collision-infeasible but reachable within tolerance
+    still plans successfully.
     """
 
     q0: jnp.ndarray
     qN: jnp.ndarray
+    goal_tolerance_below: jnp.ndarray | None = None
+    goal_tolerance_above: jnp.ndarray | None = None
 
 
 @struct.dataclass

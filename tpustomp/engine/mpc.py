@@ -246,26 +246,39 @@ def run_mpc_batch(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     return state
 
 
+def _run_batch_select(robot, cfg: PlannerConfig, state, sphere_radius,
+                      num_ticks: int, world_dt: float, static_world):
+    """Batched-execution selector — the ONE code path for batched MPC runs.
+
+    STOMP scenarios replan through the flat batched solver (one fused
+    kernel launch across all scenarios' candidates per iteration);
+    per-candidate analytic worlds need the unrolled kernel, so robots
+    without a static body partition fall back to plain vmap. Both branches
+    resolve at trace time. Shared by the healthy sharded dispatch
+    (`_sharded_mpc`) AND the recovery subset re-dispatch
+    (`run_mpc_resilient._retry_fn`) so a recovered scenario replays the
+    exact same program a never-failed one ran (same batched layout, same
+    kernel) — not merely the same math through a different execution path.
+    """
+    if cfg.mode == "stomp" and (
+            cfg.obstacle_backend != "pallas"
+            or getattr(robot, "body_counts", None) is not None):
+        return run_mpc_batch(robot, cfg, state, sphere_radius, num_ticks,
+                             world_dt, static_world)
+    return jax.vmap(
+        lambda s: run_mpc(robot, cfg, s, sphere_radius, num_ticks,
+                          world_dt, static_world)
+    )(state)
+
+
 @functools.lru_cache(maxsize=8)
 def _sharded_mpc(cfg: PlannerConfig, mesh, num_ticks: int, world_dt: float):
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
     replicated = NamedSharding(mesh, P())
 
     def run(robot, state, sphere_radius, static_world):
-        # STOMP scenarios replan through the flat batched solver (one fused
-        # kernel launch across all scenarios' candidates per iteration);
-        # per-candidate analytic worlds need the unrolled kernel, so robots
-        # without a static body partition fall back to plain vmap. Both
-        # branches resolve at trace time.
-        if cfg.mode == "stomp" and (
-                cfg.obstacle_backend != "pallas"
-                or getattr(robot, "body_counts", None) is not None):
-            return run_mpc_batch(robot, cfg, state, sphere_radius, num_ticks,
+        return _run_batch_select(robot, cfg, state, sphere_radius, num_ticks,
                                  world_dt, static_world)
-        return jax.vmap(
-            lambda s: run_mpc(robot, cfg, s, sphere_radius, num_ticks,
-                              world_dt, static_world)
-        )(state)
 
     return jax.jit(run, in_shardings=(replicated, sharding, replicated,
                                       replicated),
@@ -369,9 +382,11 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
 
     @functools.lru_cache(maxsize=8)
     def _retry_fn(ticks: int):
-        return jax.jit(jax.vmap(
-            lambda s: run_mpc(robot, cfg, s, radius, ticks, world_dt,
-                              static_world)))
+        # Same batched program as the healthy dispatch (_run_batch_select),
+        # just over the failed-row subset — a recovered scenario replays
+        # the identical kernel/layout a never-failed one ran.
+        return jax.jit(lambda sub: _run_batch_select(
+            robot, cfg, sub, radius, ticks, world_dt, static_world))
 
     # np.array (copy): device views are read-only, and the snapshot must not
     # alias buffers the next dispatch may donate

@@ -366,13 +366,14 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
     mode: "analytic" -> (q_obs [C,T], margin_row [C,T]) against SMEM
     sphere/box primitives; "kin" -> kin [B, 4, C, T] for the grid hybrid.
 
-    time_major (analytic only): lane-packing experiment (VERDICT r1 item
-    10) — blocks are [T, tile] (sublane = waypoint, lane = candidate)
-    instead of [tile, T]. Rationale: at T=102 the candidate-major layout
-    wastes 26/128 lanes of every vreg (~20% of VPU issue), while time-major
-    wastes only 2/104 sublanes and fills all 128 lanes at tile=128; the
-    time-axis coupling becomes sublane rolls. Measured on v5e: see
-    docs/PERFORMANCE.md (kept non-default unless it wins).
+    time_major (analytic only): blocks are [T, tile] (sublane = waypoint,
+    lane = candidate) instead of [tile, T]. This is the PRODUCTION DEFAULT
+    for the unrolled analytic path (2.46x on v5e — see docs/PERFORMANCE.md;
+    `TPUSTOMP_PALLAS_LAYOUT=cm` is the candidate-major A/B escape hatch).
+    Rationale: at T=102 the candidate-major layout wastes 26/128 lanes of
+    every vreg (~20% of VPU issue), while time-major wastes only 2/104
+    sublanes and fills all 128 lanes at tile=128; the time-axis coupling
+    becomes sublane rolls.
 
     per_cand_world (analytic + time_major only): every CANDIDATE carries its
     own world primitives — sphere/box parameter rows become [S, 4|6, tile]
