@@ -111,3 +111,89 @@ def test_solve_batch_warm_start():
                              theta0)
     np.testing.assert_array_equal(np.asarray(ref.trajectory),
                                   np.asarray(got.trajectory))
+
+
+def test_solve_batch_compacted_matches_solve_batch():
+    """Host-side compaction (engine/solver.solve_batch_compacted) must be a
+    pure execution-layout change: per-scenario results identical to the
+    single-dispatch solve_batch. min_bucket/chunk forced tiny so the test
+    actually exercises multiple compaction steps (pow2 buckets, pad rows,
+    scatter/gather round trips) at B=12."""
+    robot, world = _scene()
+    cfg = _cfg()
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+    Q0, QN = _batch(B=12, seed=4)
+    keys = jax.random.split(jax.random.PRNGKey(21), Q0.shape[0])
+
+    ref = jax.jit(lambda a, b, k: solver.solve_batch(
+        robot, world, None, cfg, ops, a, b, k))(Q0, QN, keys)
+    got = solver.solve_batch_compacted(robot, world, None, cfg, ops,
+                                       Q0, QN, keys, chunk=2, min_bucket=2)
+
+    # must converge at different iterations, else compaction never triggers
+    its = np.asarray(ref.iterations)
+    assert len(set(its.tolist())) > 1
+    # success/iterations exact; trajectory/cost to roundoff — XLA tiles
+    # batched ops differently at different bucket shapes, so per-row values
+    # across batch sizes agree to ULPs (measured 3e-8), not bitwise
+    np.testing.assert_array_equal(np.asarray(ref.success),
+                                  np.asarray(got.success))
+    np.testing.assert_array_equal(np.asarray(ref.iterations),
+                                  np.asarray(got.iterations))
+    np.testing.assert_allclose(np.asarray(ref.cost), np.asarray(got.cost),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.trajectory),
+                               np.asarray(got.trajectory),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_solve_batch_compacted_warm_start_and_world_batched():
+    """Compaction composes with MPC-style inputs: per-scenario worlds
+    (world_batched leaves with a leading [B] axis) and warm-start theta0."""
+    robot, world = _scene()
+    cfg = _cfg()
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+    B = 8
+    Q0, QN = _batch(B=B, seed=5)
+    keys = jax.random.split(jax.random.PRNGKey(31), B)
+    from tpustomp.engine.trajectory import min_jerk_init
+    theta0 = jax.vmap(lambda a, b: min_jerk_init(a, b, cfg.num_timesteps)
+                      )(Q0, QN)
+    worldB = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), world)
+
+    ref = solver.solve_batch(robot, worldB, None, cfg, ops, Q0, QN, keys,
+                             theta0, world_batched=True)
+    got = solver.solve_batch_compacted(robot, worldB, None, cfg, ops,
+                                       Q0, QN, keys, theta0,
+                                       world_batched=True,
+                                       chunk=3, min_bucket=2)
+    np.testing.assert_array_equal(np.asarray(ref.success),
+                                  np.asarray(got.success))
+    np.testing.assert_array_equal(np.asarray(ref.iterations),
+                                  np.asarray(got.iterations))
+    np.testing.assert_allclose(np.asarray(ref.trajectory),
+                               np.asarray(got.trajectory),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_plan_batch_compaction_routing():
+    """plan_batch(batch_compaction="on") returns the same solutions as
+    "off", including the restart fold."""
+    robot, world = _scene()
+    Q0, QN = _batch(B=4, seed=6)
+    keys = jax.random.split(jax.random.PRNGKey(41), 4)
+    prob = ProblemSpec(q0=Q0, qN=QN)
+
+    cfg_off = _cfg(num_restarts=2, batch_compaction="off")
+    cfg_on = cfg_off.replace(batch_compaction="on",
+                             compaction_chunk=2, compaction_min_bucket=2)
+    ref = plan_batch(robot, world, prob, cfg_off, keys=keys)
+    got = plan_batch(robot, world, prob, cfg_on, keys=keys)
+    np.testing.assert_array_equal(np.asarray(ref.success),
+                                  np.asarray(got.success))
+    np.testing.assert_array_equal(np.asarray(ref.iterations),
+                                  np.asarray(got.iterations))
+    np.testing.assert_allclose(np.asarray(ref.trajectory),
+                               np.asarray(got.trajectory),
+                               rtol=1e-5, atol=1e-6)

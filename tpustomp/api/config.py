@@ -169,6 +169,25 @@ class PlannerConfig:
     # collision-free for termination (reference `collision_threshold`).
     collision_threshold: float = 0.0
 
+    # --- batched execution (plan_batch / BASELINE config 4) -------------
+    # Host-side compaction of finished scenarios between device chunks
+    # (engine/solver.solve_batch_compacted). The pure batched while_loop
+    # runs until ALL scenarios terminate, so converged scenarios keep
+    # evaluating their full candidate set; compaction re-dispatches only
+    # the active ones in power-of-two buckets. "auto": on when the batch
+    # is >= 4*compaction_min_bucket (below that the per-chunk host sync
+    # costs more than the tail waste it recovers — measured 2.8x slower
+    # at B=256 on the axon relay); "on" | "off" force it. Per-scenario
+    # numerics are identical either way (tested).
+    batch_compaction: str = "auto"
+    # Iterations per device dispatch between host done-mask reads. Each
+    # chunk boundary pays a host sync (~25 ms fixed dispatch overhead on
+    # the axon relay); 10 iterations at B>=512 amortize it.
+    compaction_chunk: int = 10
+    # Bucket floor: below this the fused kernel underfills its lanes and
+    # shrinking the batch further stops paying.
+    compaction_min_bucket: int = 128
+
     # --- joint limits ---------------------------------------------------
     # Bounded trip count for the smoothness-preserving limit projection
     # (reference iterates until clean; SURVEY A.7 + §8.3 hard part 3).

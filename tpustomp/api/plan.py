@@ -284,5 +284,51 @@ def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,
     qN = _apply_goal_tolerance(robot, world, problem, cfg, q0, qN,
                                batched=True)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+    R = max(1, cfg.num_restarts)
+    if _use_compaction(cfg, q0.shape[0] * R):
+        return _plan_batch_compacted(robot, world, constraints, cfg, ops,
+                                     q0, qN, keys)
     return _jitted_solve_batch(cfg, constraints is not None)(
         robot, world, constraints, ops, q0, qN, keys)
+
+
+def _use_compaction(cfg: PlannerConfig, total_batch: int) -> bool:
+    if cfg.mode != "stomp" or cfg.batch_compaction == "off":
+        return False
+    if cfg.batch_compaction == "on":
+        return True
+    # "auto": each compaction chunk pays a host sync (~25 ms fixed dispatch
+    # overhead on the axon relay), so it only pays once a chunk's device
+    # time dominates the sync AND the tail waste is large. Measured on v5e:
+    # at B=256 compaction is a 2.8x LOSS (0.37 vs 0.13 s warm) because
+    # chunk device time ~10 ms << sync; the in-kernel done-tile skip covers
+    # the waste sync-free instead. Keep host compaction opt-in at the
+    # batch sizes where chunks amortize the sync (>= 4x the bucket floor).
+    return total_batch >= 4 * cfg.compaction_min_bucket
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_select_best_grouped():
+    return jax.jit(jax.vmap(solver.select_best))
+
+
+def _plan_batch_compacted(robot, world, constraints, cfg: PlannerConfig,
+                          ops, q0, qN, keys) -> Solution:
+    """Host-orchestrated batched solve with finished-scenario compaction.
+
+    Restarts fold into the scenario axis exactly as in _jitted_solve_batch,
+    then select_best per problem."""
+    B = q0.shape[0]
+    R = max(1, cfg.num_restarts)
+    if R > 1:
+        q0 = jnp.repeat(q0, R, axis=0)
+        qN = jnp.repeat(qN, R, axis=0)
+        keys = jax.vmap(lambda k: jax.random.split(k, R)
+                        )(keys).reshape(B * R, -1)
+    sols = solver.solve_batch_compacted(robot, world, constraints, cfg, ops,
+                                        q0, qN, keys)
+    if R > 1:
+        grouped = jax.tree.map(lambda x: x.reshape((B, R) + x.shape[1:]),
+                               sols)
+        sols = _jitted_select_best_grouped()(grouped)
+    return sols
