@@ -233,3 +233,94 @@ def test_per_candidate_worlds_empty_boxes():
         np.testing.assert_allclose(np.asarray(q_obs[c]), np.asarray(q_ref),
                                    atol=2e-6)
         assert abs(float(margin[c]) - float(m_ref)) < 1e-6
+
+
+def test_activity_skip_zeros_inactive_tiles():
+    """row_active: active rows bit-identical to a no-hint run; every row in
+    a fully-inactive tile comes back exactly zero (never NaN). C=256 at
+    tile 128 -> two tiles; second all-inactive, first mixed (the mixed tile
+    must still compute ALL its rows)."""
+    robot = model.arm_7dof()
+    world = AnalyticWorld.make(
+        boxes=[((0.6, 0.0, 0.2), (0.45, 0.6, 0.25))],
+        spheres=[((0.3, 0.3, 0.9), 0.1)])
+    rng = np.random.default_rng(3)
+    C, T = 256, 22
+    cand = jnp.asarray(rng.uniform(-1.2, 1.2, (C, T, 7)), jnp.float32)
+    active = np.zeros(C, bool)
+    active[:100] = True  # tile 0 mixed-active, tile 1 fully inactive
+    q_ref, m_ref = rp.obstacle_cost_batch_pallas(robot, world, cand,
+                                                 0.05, 0.08, interpret=True)
+    q, m = rp.obstacle_cost_batch_pallas(robot, world, cand, 0.05, 0.08,
+                                         interpret=True,
+                                         row_active=jnp.asarray(active))
+    np.testing.assert_array_equal(np.asarray(q[:128]), np.asarray(q_ref[:128]))
+    np.testing.assert_array_equal(np.asarray(m[:128]), np.asarray(m_ref[:128]))
+    np.testing.assert_array_equal(np.asarray(q[128:]),
+                                  np.zeros((128, T), np.float32))
+    np.testing.assert_array_equal(np.asarray(m[128:]), np.zeros(128, np.float32))
+
+
+def test_activity_skip_per_candidate_worlds():
+    """The skip composes with per-candidate worlds (batched-MPC layout)."""
+    robot = model.arm_7dof()
+    rng = np.random.default_rng(5)
+    C, T = 256, 22
+    cand = jnp.asarray(rng.uniform(-1.0, 1.0, (C, T, 7)), jnp.float32)
+    world_pc = AnalyticWorld(
+        sphere_center=jnp.asarray(rng.uniform(-0.5, 0.8, (C, 2, 3)),
+                                  jnp.float32),
+        sphere_radius=jnp.full((C, 2), 0.1, jnp.float32),
+        box_center=jnp.asarray(rng.uniform(-0.5, 0.8, (C, 1, 3)),
+                               jnp.float32),
+        box_half=jnp.full((C, 1, 3), 0.2, jnp.float32))
+    active = np.zeros(C, bool)
+    active[128:] = True  # first tile inactive, second active
+    q_ref, m_ref = rp.obstacle_cost_batch_pallas(robot, world_pc, cand,
+                                                 0.05, 0.08, interpret=True)
+    q, m = rp.obstacle_cost_batch_pallas(robot, world_pc, cand, 0.05, 0.08,
+                                         interpret=True,
+                                         row_active=jnp.asarray(active))
+    np.testing.assert_array_equal(np.asarray(q[128:]), np.asarray(q_ref[128:]))
+    np.testing.assert_array_equal(np.asarray(q[:128]),
+                                  np.zeros((128, T), np.float32))
+    np.testing.assert_array_equal(np.asarray(m[:128]), np.zeros(128, np.float32))
+
+
+def test_solve_batch_with_done_scenarios_matches_vmap_solve():
+    """End-to-end: the sync-free done-tile skip inside solve_batch must not
+    change any per-scenario result (finished scenarios' zero rows are
+    discarded by the freeze mask). Pallas interpret mode so the activity
+    path actually runs on CPU."""
+    from tpustomp.api.config import (CostWeights, NoiseConfig, PlannerConfig)
+    from tpustomp.dynamics.device import device_ops
+    from tpustomp.engine import solver
+
+    robot = model.planar_2r()
+    world = AnalyticWorld.make(spheres=[((1.2, 0.6, 0.0), 0.3)])
+    cfg = PlannerConfig(
+        num_timesteps=20, duration=1.0, num_rollouts=8, max_iterations=30,
+        noise=NoiseConfig(stddev=0.25, decay=0.99, num_rollouts_reused=2),
+        weights=CostWeights(obstacle=1.0, smoothness=0.05),
+        collision_clearance=0.05, max_iterations_after_collision_free=2,
+        obstacle_backend="pallas", pallas_interpret=True,
+        record_metrics=False)
+    rng = np.random.default_rng(11)
+    B = 6
+    Q0 = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 2)), jnp.float32)
+    QN = jnp.asarray(np.pi / 2 + rng.uniform(-1.0, 1.0, (B, 2)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+
+    got = solver.solve_batch(robot, world, None, cfg, ops, Q0, QN, keys)
+    ref = jax.vmap(lambda a, b, k: solver.solve(
+        robot, world, None, cfg, ops, a, b, k))(Q0, QN, keys)
+    its = np.asarray(got.iterations)
+    assert len(set(its.tolist())) > 1, "need staggered convergence"
+    np.testing.assert_array_equal(np.asarray(got.success),
+                                  np.asarray(ref.success))
+    np.testing.assert_array_equal(np.asarray(got.iterations),
+                                  np.asarray(ref.iterations))
+    np.testing.assert_allclose(np.asarray(got.trajectory),
+                               np.asarray(ref.trajectory),
+                               rtol=1e-5, atol=1e-6)

@@ -165,6 +165,10 @@ class PlannerConfig:
     # chains (kernels/rollout_pallas.py), else "xla". Force with
     # "xla" | "pallas".
     obstacle_backend: str = "auto"
+    # Run the pallas backend in interpret mode (CPU-executable). For tests:
+    # lets the solver's fused-kernel code path (incl. the done-tile
+    # activity skip) run under the CPU suite; never set in production.
+    pallas_interpret: bool = False
     # Signed distance (beyond sphere radius) above which a body is counted
     # collision-free for termination (reference `collision_threshold`).
     collision_threshold: float = 0.0
@@ -172,13 +176,13 @@ class PlannerConfig:
     # --- batched execution (plan_batch / BASELINE config 4) -------------
     # Host-side compaction of finished scenarios between device chunks
     # (engine/solver.solve_batch_compacted). The pure batched while_loop
-    # runs until ALL scenarios terminate, so converged scenarios keep
-    # evaluating their full candidate set; compaction re-dispatches only
-    # the active ones in power-of-two buckets. "auto": on when the batch
-    # is >= 4*compaction_min_bucket (below that the per-chunk host sync
-    # costs more than the tail waste it recovers — measured 2.8x slower
-    # at B=256 on the axon relay); "on" | "off" force it. Per-scenario
-    # numerics are identical either way (tested).
+    # runs until ALL scenarios terminate; the convergence tail is covered
+    # sync-free by the in-kernel done-tile skip (rollout_pallas
+    # with_activity), so "auto" resolves to OFF — compaction's host syncs
+    # (~25 ms each on the axon relay) measured as a net loss at B=256/512/
+    # 1024 (see api/plan._use_compaction for numbers). "on" forces it for
+    # environments with sub-ms dispatch. Per-scenario numerics are
+    # identical either way (tested).
     batch_compaction: str = "auto"
     # Iterations per device dispatch between host done-mask reads. Each
     # chunk boundary pays a host sync (~25 ms fixed dispatch overhead on

@@ -297,14 +297,15 @@ def _use_compaction(cfg: PlannerConfig, total_batch: int) -> bool:
         return False
     if cfg.batch_compaction == "on":
         return True
-    # "auto": each compaction chunk pays a host sync (~25 ms fixed dispatch
-    # overhead on the axon relay), so it only pays once a chunk's device
-    # time dominates the sync AND the tail waste is large. Measured on v5e:
-    # at B=256 compaction is a 2.8x LOSS (0.37 vs 0.13 s warm) because
-    # chunk device time ~10 ms << sync; the in-kernel done-tile skip covers
-    # the waste sync-free instead. Keep host compaction opt-in at the
-    # batch sizes where chunks amortize the sync (>= 4x the bucket floor).
-    return total_batch >= 4 * cfg.compaction_min_bucket
+    # "auto" resolves to OFF: with the sync-free in-kernel done-tile skip
+    # (kernels/rollout_pallas.py with_activity) covering the convergence
+    # tail, host compaction measured as a pure loss at every batch size on
+    # the axon relay — each chunk boundary is a host sync (~25 ms fixed
+    # dispatch cost) that the recovered waste cannot repay (v5e, chunk=10:
+    # B=256 2141->927, B=512 1960->1338, B=1024 1813->1613 solves/s).
+    # "on" remains for environments with sub-ms dispatch where the sync is
+    # cheap relative to the tail.
+    return False
 
 
 @functools.lru_cache(maxsize=8)

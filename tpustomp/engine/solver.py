@@ -101,18 +101,20 @@ def _evaluate_batch(robot, world, constraints, cfg: PlannerConfig,
 
 
 def _evaluate_fulls_pallas(robot, world, constraints, cfg: PlannerConfig,
-                           fulls, ctrl_t):
+                           fulls, ctrl_t, row_active=None):
     """Fused-kernel evaluation of precomputed full trajectories [C, T, d].
 
     Split out of `_evaluate_batch` so the batched solver (`solve_batch`) can
     flatten scenarios × candidates into ONE kernel launch (the candidate
     axis is embarrassingly parallel; per-candidate numerics are layout-
-    independent).
+    independent). row_active: optional [C] bool hint — False rows may come
+    back as zeros (finished scenarios, discarded by the freeze mask).
     """
     from tpustomp.kernels.rollout_pallas import obstacle_cost_batch_pallas
 
     q_obs, margins = obstacle_cost_batch_pallas(
-        robot, world, fulls, cfg.dt, cfg.collision_clearance)
+        robot, world, fulls, cfg.dt, cfg.collision_clearance,
+        interpret=cfg.pallas_interpret, row_active=row_active)
     S = cfg.weights.obstacle * q_obs
     q_con_sum = jnp.zeros(fulls.shape[0], fulls.dtype)
     if constraints is not None:
@@ -497,9 +499,11 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
 
     world_axes, expand_world = _batched_world_parts(world, world_batched)
 
-    def evaluate_all(cands):
+    def evaluate_all(cands, active=None):
         """cands [B, C, N, d] -> the _evaluate_batch tuple with a leading
-        scenario axis on every element."""
+        scenario axis on every element. active: optional [B] bool (not-done
+        mask) — finished scenarios' rows may come back as zeros; the step's
+        freeze mask discards them (sync-free convergence-tail skip)."""
         if cfg.obstacle_backend != "pallas":
             # XLA path: flattening buys nothing (no tile padding); keep the
             # per-scenario evaluation, bit-identical to vmap(solve).
@@ -514,16 +518,18 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         ctrl_t = jax.vmap(lambda th, a, b: smoothness_cost_per_timestep_batch(
             ops, th, a, b))(cands, Q0, QN)
         T = fulls.shape[2]
+        row_active = None if active is None else jnp.repeat(active, C)
         S, ctrl, margins, totals, parts = _evaluate_fulls_pallas(
             robot, expand_world(world, C), constraints, cfg,
-            fulls.reshape(B * C, T, -1), ctrl_t.reshape(B * C, T))
+            fulls.reshape(B * C, T, -1), ctrl_t.reshape(B * C, T),
+            row_active=row_active)
         rs = lambda x: x.reshape((B, C) + x.shape[1:])
         return (rs(S), rs(ctrl), rs(margins), rs(totals),
                 tuple(rs(p) for p in parts))
 
     def step(stateB: SolverState) -> SolverState:
         keys, cands = propose_v(stateB)
-        outs = evaluate_all(cands)
+        outs = evaluate_all(cands, active=~stateB.done)
         new = apply_v(stateB, keys, cands, *outs)
         # freeze finished scenarios — the same per-element select that
         # jax.vmap(lax.while_loop) applies, so results match vmap(solve)

@@ -350,7 +350,8 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                           tile_c: int | None = None,
                           skip_rotf: bool = False,
                           time_major: bool = False,
-                          per_cand_world: bool = False):
+                          per_cand_world: bool = False,
+                          with_activity: bool = False):
     """Scratch-free fused evaluator: UNROLLED joint loop, each link's bodies
     evaluated inline while the frame is live in registers.
 
@@ -382,6 +383,17 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
     This is what lets the batched MPC loop (per-scenario moving obstacles,
     SURVEY config 5) share the flat scenarios×candidates layout of
     solver.solve_batch instead of paying per-scenario tile padding.
+
+    with_activity (analytic + time_major only): the call takes one extra
+    SMEM vector `tile_active [n_tiles] int32`; a tile whose flag is 0 skips
+    ALL compute and writes zero cost/margin rows. This is the sync-free
+    answer to the convergence tail of `solver.solve_batch` (BASELINE
+    config 4): the batched while_loop runs until every scenario is done, so
+    finished scenarios' candidates would otherwise keep paying full FK+SDF
+    every iteration; the caller derives per-tile flags from the done mask
+    and the kernel drops those tiles inside the single dispatch — no host
+    round trip, composes with jit/sharding/MPC. Skipped rows' outputs are
+    zeros (never NaN), and the solver's freeze mask discards them anyway.
     """
     if mode == "analytic":
         d, n_bodies, n_spheres, n_boxes, T = shapes
@@ -392,6 +404,9 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
     if per_cand_world:
         assert mode == "analytic" and time_major, \
             "per-candidate worlds need the analytic time-major kernel"
+    if with_activity:
+        assert mode == "analytic" and time_major, \
+            "tile-activity skip is implemented for the analytic time-major kernel"
     tile = tile_c or (128 if time_major else TILE_C)
     offsets = [0]
     for c in body_counts:
@@ -399,6 +414,32 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
     assert offsets[-1] == n_bodies, (body_counts, n_bodies)
 
     def kernel(*refs):
+        if mode == "analytic":
+            if with_activity:
+                act_ref = refs[0]
+                refs = refs[1:]
+            (type_ref, axis_ref, off_ref, rotf_ref, base_ref, boff_ref,
+             brad_ref, sph_ref, box_ref, cand_ref, q_obs_ref,
+             margin_ref) = refs
+        else:
+            (type_ref, axis_ref, off_ref, rotf_ref, base_ref, boff_ref,
+             cand_ref, kin_ref) = refs
+        if with_activity:
+            flag = act_ref[pl.program_id(0)]
+
+            @pl.when(flag == 0)
+            def _skip():
+                zero = jnp.zeros((T, tile), jnp.float32)
+                q_obs_ref[:, :] = zero
+                margin_ref[:, :] = zero
+
+            @pl.when(flag != 0)
+            def _run():
+                _kernel_body(*refs)
+            return
+        _kernel_body(*refs)
+
+    def _kernel_body(*refs):
         if mode == "analytic":
             (type_ref, axis_ref, off_ref, rotf_ref, base_ref, boff_ref,
              brad_ref, sph_ref, box_ref, cand_ref, q_obs_ref,
@@ -535,9 +576,10 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
 
-    def fn(cand_full: jnp.ndarray, robot, world=None):
+    def fn(cand_full: jnp.ndarray, robot, world=None, tile_active=None):
         C = cand_full.shape[0]
         assert C % tile == 0, f"pad candidate count to {tile} (got {C})"
+        assert (tile_active is not None) == with_activity
         base = jnp.concatenate([robot.base_rot.reshape(9),
                                 robot.base_pos.reshape(3)]).astype(f32)
         if time_major:
@@ -572,10 +614,14 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                      world.box_half.reshape(-1, 3)], axis=1).astype(f32)
                 world_specs = [smem, smem]
             if time_major:
+                act_specs, act_args = [], ()
+                if with_activity:
+                    act_specs = [smem]
+                    act_args = (tile_active.astype(jnp.int32),)
                 q_obs_t, margin_t = pl.pallas_call(
                     kernel,
                     grid=(C // tile,),
-                    in_specs=[smem] * 7 + world_specs + [
+                    in_specs=act_specs + [smem] * 7 + world_specs + [
                         pl.BlockSpec((d, T, tile), lambda i: (0, 0, i),
                                      memory_space=pltpu.VMEM)],
                     out_specs=[
@@ -586,7 +632,8 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                     out_shape=[jax.ShapeDtypeStruct((T, C), f32),
                                jax.ShapeDtypeStruct((T, C), f32)],
                     interpret=interpret,
-                )(*common, robot.body_radius.astype(f32), sph, box, cand_jm)
+                )(*act_args, *common, robot.body_radius.astype(f32), sph, box,
+                  cand_jm)
                 return q_obs_t.T, margin_t.T
             return pl.pallas_call(
                 kernel,
@@ -617,6 +664,17 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
         )(*common, cand_jm)
 
     return fn
+
+
+def _tile_flags(row_active, C: int, tile: int):
+    """[C] bool row-activity -> [n_tiles] int32 per-tile flags (pad = off)."""
+    if row_active is None:
+        return None
+    pad = (-C) % tile
+    if pad:
+        row_active = jnp.concatenate(
+            [row_active, jnp.zeros((pad,), row_active.dtype)])
+    return jnp.any(row_active.reshape(-1, tile), axis=1).astype(jnp.int32)
 
 
 def _grid_finish(world, kin, dt: float, clearance: float, body_radius):
@@ -652,13 +710,21 @@ def _grid_finish(world, kin, dt: float, clearance: float, body_radius):
 
 def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
                                dt: float, clearance: float,
-                               interpret: bool = False, tile_c=None):
+                               interpret: bool = False, tile_c=None,
+                               row_active=None):
     """Batched obstacle cost via the fused kernels, with transparent padding.
 
     full_trajs: [C, T, d] -> (q_obs [C, T], margin [C]). Shapes are read from
     the (possibly traced) arrays; values stay traced. Analytic worlds run
     fully fused; grid and composite (grid+overlay) worlds run the hybrid
     kinematics kernel + XLA gather/min-compose tail.
+
+    row_active: optional [C] bool — rows whose flag is False may return
+    ZEROS instead of their true cost/margin (the caller promises to discard
+    them; solver.solve_batch passes the not-done mask so finished scenarios
+    stop paying kernel time inside the while_loop). Implemented as a
+    per-tile skip on the time-major analytic kernels; other paths ignore
+    the hint and compute everything (correct either way).
 
     PER-CANDIDATE WORLDS: analytic/overlay leaves may carry a leading
     candidate axis (sphere_center [C, S, 3] instead of [S, 3]) — every
@@ -729,12 +795,14 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
         world = jax.tree.map(lambda x: _pad_cand_axis(x, tm_pad), world)
         shapes = (d, robot.body_link.shape[0],
                   world.sphere_radius.shape[-1], world.box_half.shape[-2], T)
+        flags = _tile_flags(row_active, C, tm_tile)
         fn = build_unrolled_kernel(shapes, dt, clearance, robot.body_counts,
                                    mode="analytic", interpret=interpret,
                                    tile_c=tm_tile, time_major=True,
                                    per_cand_world=True,
-                                   skip_rotf=robot.rot_fixed_identity)
-        q_obs, margin_row = fn(padded_tm, robot, world)
+                                   skip_rotf=robot.rot_fixed_identity,
+                                   with_activity=flags is not None)
+        q_obs, margin_row = fn(padded_tm, robot, world, tile_active=flags)
         return q_obs[:C], jnp.min(margin_row[:C], axis=1)
 
     # zero-length SMEM operands break Mosaic layout verification; pad empty
@@ -762,11 +830,13 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
         padded_tm = jnp.concatenate(
             [full_trajs, jnp.broadcast_to(full_trajs[:1], (tm_pad, T, d))],
             axis=0) if tm_pad else full_trajs
+        flags = _tile_flags(row_active, C, tm_tile)
         fn = build_unrolled_kernel(shapes, dt, clearance, robot.body_counts,
                                    mode="analytic", interpret=interpret,
                                    tile_c=tm_tile, time_major=True,
-                                   skip_rotf=robot.rot_fixed_identity)
-        q_obs, margin_row = fn(padded_tm, robot, world)
+                                   skip_rotf=robot.rot_fixed_identity,
+                                   with_activity=flags is not None)
+        q_obs, margin_row = fn(padded_tm, robot, world, tile_active=flags)
         return q_obs[:C], jnp.min(margin_row[:C], axis=1)
     if unrolled:
         fn = build_unrolled_kernel(shapes, dt, clearance, robot.body_counts,
