@@ -60,8 +60,12 @@ def test_stomp_matches_oracle_with_shared_noise(cost_mode):
     k = key
     for i in range(n_iters):
         k, kn = jax.random.split(k)
-        z_seq[i] = np.asarray(jax.random.normal(
-            kn, (cfg.num_rollouts, cfg.num_timesteps, 2), jnp.float32))
+        # the engine draws z in (d, K, N) order (sampling.sample_noise — the
+        # time-major batched path shares the same flat PRNG stream); replay
+        # that order and relabel to the oracle's (K, N, d)
+        z_seq[i] = np.asarray(jnp.transpose(jax.random.normal(
+            kn, (2, cfg.num_rollouts, cfg.num_timesteps), jnp.float32),
+            (1, 2, 0)))
 
     theta_oracle, hist = oracle.stomp_solve_config1(
         Q0.astype(np.float64), QN.astype(np.float64), cfg.num_timesteps,

@@ -70,8 +70,8 @@ def test_constrained_solve_reduces_constraint_cost():
         max_iterations_after_collision_free=10**6,
     )
     prob = ProblemSpec(q0=q0, qN=qN)
-    sol_free = plan(robot, world, prob, cfg, key=jax.random.PRNGKey(0))
-    sol_con = plan(robot, world, prob, cfg, key=jax.random.PRNGKey(0),
+    sol_free = plan(robot, world, prob, cfg, key=jax.random.PRNGKey(1))
+    sol_con = plan(robot, world, prob, cfg, key=jax.random.PRNGKey(1),
                    constraints=con)
     cc_free = float(jnp.sum(constraint_cost(robot, con, sol_free.trajectory)))
     cc_con = float(jnp.sum(constraint_cost(robot, con, sol_con.trajectory)))

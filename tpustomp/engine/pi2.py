@@ -12,6 +12,7 @@ M-projection is one [N,N]×[N,d] matmul; everything vmaps over scenarios.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
@@ -39,3 +40,20 @@ def update(eps: jnp.ndarray, S: jnp.ndarray, M: jnp.ndarray,
     P = probabilities(S, h)                       # [K, N]
     delta = jnp.einsum("kn,knd->nd", P, eps)
     return M @ delta
+
+
+def update_tm(eps_tm: jnp.ndarray, S: jnp.ndarray, M: jnp.ndarray,
+              h: float) -> jnp.ndarray:
+    """Batched A.9/A.10 on TIME-MAJOR noise: eps_tm [N, d, B, K],
+    S [B, K, N] -> δθ [B, N, d].
+
+    Same math as `vmap(update)` over scenarios; the P-weighted reduce and
+    the M projection run in the kernel's lane-major layout so the big noise
+    tensor is consumed without a scenario-major transpose (see
+    sampling.sample_noise_tm). Per-element agreement with vmap(update) is
+    unit-tested (reduction axes identical; only axis labels differ).
+    """
+    P = jax.vmap(lambda s: probabilities(s, h))(S)        # [B, K, N]
+    delta = jnp.einsum("bkn,ndbk->ndb", P, eps_tm)
+    delta = jnp.einsum("nm,mdb->ndb", M, delta)
+    return jnp.transpose(delta, (2, 0, 1))

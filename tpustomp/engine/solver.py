@@ -465,6 +465,174 @@ def _batched_world_parts(world, world_batched: bool):
     return 0, lambda w, C: jax.tree.map(lambda x: jnp.repeat(x, C, axis=0), w)
 
 
+def _tm_step_eligible(robot: RobotSpec, world, constraints,
+                      cfg: PlannerConfig) -> bool:
+    """Can the batched step run in the time-major layout?
+
+    Requirements are those of the fully-fused analytic time-major kernel
+    plus XLA-side stages that would otherwise need a scenario-major
+    transpose of the candidate tensor: analytic world, no constraint/torque
+    vmaps over [C, T, d] fulls, clip-mode rollout limits, unrolled kernel
+    available, and the kernel layout not forced to candidate-major.
+    """
+    import os
+
+    from tpustomp.world.sdf import AnalyticWorld
+
+    return (cfg.obstacle_backend == "pallas"
+            and isinstance(world, AnalyticWorld)
+            and constraints is None
+            and cfg.weights.torque == 0.0
+            and cfg.rollout_limit_projection != "smooth"
+            and getattr(robot, "body_counts", None) is not None
+            and os.environ.get("TPUSTOMP_PALLAS_LAYOUT", "tm") == "tm")
+
+
+def make_step_batch_tm(robot: RobotSpec, world, constraints,
+                       cfg: PlannerConfig, ops: DeviceOps, Q0, QN,
+                       world_batched: bool = False):
+    """Time-major variant of `make_step_batch`: the candidate tensor is
+    built, evaluated, and consumed in the fused kernel's lane-major layout
+    [N, d, B, C] end to end.
+
+    Why: the scenario-major step materializes cand as [B, C, N, d] and the
+    kernel call transposes it to [d, T, B·C] — a pathological permute
+    (minor axis d=7) measured at 0.57 ms/iteration at B=256 on v5e, ~27% of
+    the whole step. Building time-major is free: the sampler's dot_general
+    emits [n][d, b, k] directly (sampling.sample_noise_tm), candidate
+    assembly concatenates along the minor axis, the control-cost rows and
+    the PI² reduce consume the same layout (costs.smoothness tm /
+    pi2.update_tm), and only O(B·N·d) scenario-major tensors (θ, δθ, reuse)
+    are ever transposed. Measured: propose+kernel reaches the kernel-only
+    floor (0.889 vs 0.900 ms/iter).
+
+    Per-scenario numerics match `make_step_batch` / vmap(solve): the z draw
+    order is shared (sample_noise's (d, K, N) convention), every contraction
+    reduces over the same axis, and only axis labels differ (dot tilings may
+    differ at ULP level across backends; equality is asserted exactly on the
+    XLA CPU path and at 1e-6 through pallas interpret — see
+    tests/unit/test_rollout_kernel.py and tests/integration/test_tm_step.py).
+    """
+    from tpustomp.costs.smoothness import smoothness_cost_per_timestep_tm
+    from tpustomp.engine.sampling import sample_noise_tm
+
+    assert cfg.mode == "stomp"
+    B = Q0.shape[0]
+    d = robot.num_joints
+    N = cfg.num_timesteps
+    K = cfg.num_rollouts
+    Kr = cfg.noise.num_rollouts_reused
+    C = 1 + K + Kr
+    sigma0 = jnp.asarray(cfg.noise_stddevs(d), jnp.float32)
+    project = lambda th: project_limits(th, robot.joint_lower,
+                                        robot.joint_upper,
+                                        robot.joint_limited, ops.Rinv,
+                                        cfg.joint_limit_iterations,
+                                        cfg.joint_limit_method)
+    _, expand_world = _batched_world_parts(world, world_batched)
+    q0_tm = jnp.transpose(Q0)                              # [d, B]
+    qN_tm = jnp.transpose(QN)
+
+    def finish_one(state, key, theta_new, reuse_new, total0, margin0,
+                   parts0) -> SolverState:
+        """Per-scenario A.12 bookkeeping (vmapped; mirrors apply_update)."""
+        it = state.iteration
+        cf = margin0 > cfg.collision_threshold
+        cf_count = jnp.where(cf, state.cf_count + 1, jnp.int32(0))
+        improved = cf & (total0 < state.best_cost)
+        done = ((it + 1 >= cfg.max_iterations)
+                | (cf_count >= cfg.max_iterations_after_collision_free))
+        return state.replace(
+            theta=theta_new,
+            key=key,
+            iteration=it + 1,
+            best_theta=jnp.where(improved, state.theta, state.best_theta),
+            best_cost=jnp.where(improved, total0, state.best_cost),
+            found_cf=state.found_cf | cf,
+            cf_count=cf_count,
+            done=done,
+            reuse_theta=reuse_new,
+            **_record(state, it, total0, parts0, cf),
+        )
+
+    finish_v = jax.vmap(finish_one)
+
+    def iteration(stateB: SolverState) -> SolverState:
+        # --- propose, time-major --------------------------------------
+        it = stateB.iteration
+        decay = jnp.power(jnp.float32(cfg.noise.decay),
+                          it.astype(jnp.float32))             # [B]
+        sigma = sigma0[None, :] * decay[:, None]              # [B, d]
+        splits = jax.vmap(jax.random.split)(stateB.key)
+        keys_new, k_noise = splits[:, 0], splits[:, 1]
+
+        theta_tm = jnp.transpose(stateB.theta, (1, 2, 0))     # [N, d, B]
+        eps_tm = sample_noise_tm(k_noise, ops.L_sample, sigma, K)
+        reuse_tm = jnp.transpose(stateB.reuse_theta, (2, 3, 0, 1))
+        cand_tm = jnp.concatenate(
+            [theta_tm[..., None], theta_tm[..., None] + eps_tm, reuse_tm],
+            axis=3)                                           # [N, d, B, C]
+        cand_tm = jnp.where(
+            robot.joint_limited[None, :, None, None],
+            jnp.clip(cand_tm, robot.joint_lower[None, :, None, None],
+                     robot.joint_upper[None, :, None, None]),
+            cand_tm)
+
+        # --- evaluate: ONE fused-kernel launch ------------------------
+        full_tm = jnp.concatenate([
+            jnp.broadcast_to(q0_tm[None, :, :, None], (1, d, B, C)),
+            cand_tm,
+            jnp.broadcast_to(qN_tm[None, :, :, None], (1, d, B, C)),
+        ], axis=0).reshape(N + 2, d, B * C)
+        tm = jnp.transpose(full_tm, (1, 0, 2))                # [d, T, B·C]
+        from tpustomp.kernels.rollout_pallas import obstacle_cost_batch_pallas
+        # handed over as logical [B·C, T, d]; the kernel's internal
+        # transpose cancels against this one (XLA folds the pair), so the
+        # custom call receives the time-major array we just built
+        q_obs, margins = obstacle_cost_batch_pallas(
+            robot, expand_world(world, C), jnp.transpose(tm, (2, 1, 0)),
+            cfg.dt, cfg.collision_clearance,
+            interpret=cfg.pallas_interpret,
+            row_active=jnp.repeat(~stateB.done, C))
+        q_obs = q_obs.reshape(B, C, N + 2)                    # lane = b·C + c
+        margins = margins.reshape(B, C)
+        ctrl_all = smoothness_cost_per_timestep_tm(ops, cand_tm, Q0, QN)
+        S_all = cfg.weights.obstacle * q_obs
+        ctrl_sums = jnp.sum(ctrl_all, axis=2)
+        totals = jnp.sum(S_all, axis=2) + cfg.weights.smoothness * ctrl_sums
+
+        # --- update (A.9/A.10), time-major ----------------------------
+        eps_full = cand_tm - theta_tm[..., None]   # re-centered noise (A.3)
+        S_used = S_all[:, 1:, :]
+        if cfg.pi2_include_control_cost:
+            S_used = S_used + cfg.weights.smoothness * ctrl_all[:, 1:, :]
+        if cfg.pi2_cost_mode == "cumulative":
+            S_used = jnp.cumsum(S_used[:, :, ::-1], axis=2)[:, :, ::-1]
+        delta = pi2.update_tm(eps_full[..., 1:], S_used[:, :, 1:-1],
+                              ops.M, cfg.pi2_h)               # [B, N, d]
+        theta_new = jax.vmap(project)(stateB.theta + delta)
+
+        # rollout reuse: lowest-total-cost noisy candidates (A.3)
+        _, keep = jax.lax.top_k(-totals[:, 1:],
+                                cfg.noise.num_rollouts_reused)
+        reuse_new = jnp.take_along_axis(
+            cand_tm, (keep + 1)[None, None, :, :], axis=3)
+        reuse_new = jnp.transpose(reuse_new, (2, 3, 0, 1))    # [B, Kr, N, d]
+
+        parts0 = (jnp.sum(q_obs[:, 0, :], axis=1), ctrl_sums[:, 0],
+                  jnp.zeros((B,), jnp.float32))
+        return finish_v(stateB, keys_new, theta_new, reuse_new,
+                        totals[:, 0], margins[:, 0], parts0)
+
+    def step(stateB: SolverState) -> SolverState:
+        new = iteration(stateB)
+        mask = lambda o, n: jnp.where(
+            stateB.done.reshape((B,) + (1,) * (n.ndim - 1)), o, n)
+        return jax.tree.map(mask, stateB, new)
+
+    return step
+
+
 def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                     ops: DeviceOps, Q0, QN, world_batched: bool = False):
     """One STOMP iteration over a leading scenario axis (Q0/QN: [B, d]).
@@ -484,6 +652,10 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     launch then runs with per-candidate world parameters
     (kernels/rollout_pallas.py per_cand_world).
     """
+    if cfg.mode == "stomp" and _tm_step_eligible(robot, world, constraints,
+                                                 cfg):
+        return make_step_batch_tm(robot, world, constraints, cfg, ops,
+                                  Q0, QN, world_batched=world_batched)
     sigma0 = jnp.asarray(cfg.noise_stddevs(robot.num_joints), jnp.float32)
     project = lambda th: project_limits(th, robot.joint_lower,
                                         robot.joint_upper,
