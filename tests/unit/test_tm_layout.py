@@ -62,3 +62,19 @@ def test_smoothness_tm_matches_batch():
         ops, jnp.transpose(cand, (2, 3, 0, 1)), q0, qN)
     np.testing.assert_allclose(np.asarray(tm), np.asarray(ref),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_update_tm_cand_matches_vmap_update():
+    """δθ from ΣP·cand − θ·ΣP (no eps materialization) == Σ P ε form."""
+    ops = _ops()
+    B, K, d, N = 4, 6, 3, 24
+    rng = np.random.default_rng(4)
+    theta = jnp.asarray(rng.uniform(-1, 1, (B, N, d)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((B, K, N, d)), jnp.float32)
+    cand = theta[:, None] + eps
+    S = jnp.asarray(rng.uniform(0, 5, (B, K, N)), jnp.float32)
+    ref = jax.vmap(lambda e, s: pi2.update(e, s, ops.M, 10.0))(eps, S)
+    got = pi2.update_tm_cand(jnp.transpose(cand, (2, 3, 0, 1)),
+                             jnp.transpose(theta, (1, 2, 0)), S, ops.M, 10.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

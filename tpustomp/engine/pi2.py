@@ -57,3 +57,26 @@ def update_tm(eps_tm: jnp.ndarray, S: jnp.ndarray, M: jnp.ndarray,
     delta = jnp.einsum("bkn,ndbk->ndb", P, eps_tm)
     delta = jnp.einsum("nm,mdb->ndb", M, delta)
     return jnp.transpose(delta, (2, 0, 1))
+
+
+def update_tm_cand(cand_tm: jnp.ndarray, theta_tm: jnp.ndarray,
+                   S: jnp.ndarray, M: jnp.ndarray, h: float) -> jnp.ndarray:
+    """`update_tm` without materializing the re-centered noise tensor.
+
+    Σ_k P_k(t)·ε_k(t) = Σ_k P_k(t)·cand_k(t) − θ(t)·Σ_k P_k(t): the
+    probability-weighted noise average equals the probability-weighted
+    CANDIDATE average minus θ scaled by the (≈1 up to rounding) probability
+    sum. Algebraically identical to A.10; numerically within a few ULP
+    (tested against vmap(update)), and it saves writing + re-reading the
+    [N, d, B, K] eps tensor (~80 MB of HBM traffic per iteration at
+    config-4 B=256).
+
+    cand_tm [N, d, B, K] (noisy candidate slots only), theta_tm [N, d, B],
+    S [B, K, N] -> δθ [B, N, d].
+    """
+    P = jax.vmap(lambda s: probabilities(s, h))(S)        # [B, K, N]
+    wavg = jnp.einsum("bkn,ndbk->ndb", P, cand_tm)
+    psum = jnp.transpose(jnp.sum(P, axis=1))              # [N, B]
+    delta = wavg - theta_tm * psum[:, None, :]
+    delta = jnp.einsum("nm,mdb->ndb", M, delta)
+    return jnp.transpose(delta, (2, 0, 1))

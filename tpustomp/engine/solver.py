@@ -132,6 +132,8 @@ def _evaluate_fulls_pallas(robot, world, constraints, cfg: PlannerConfig,
 
 
 def _record(state: SolverState, it, total, parts, cf) -> dict:
+    if state.m_total.shape[0] == 0:     # record_metrics off (init_state)
+        return {}
     return dict(
         m_total=state.m_total.at[it].set(total),
         m_obstacle=state.m_obstacle.at[it].set(parts[0]),
@@ -373,7 +375,11 @@ def init_state(robot: RobotSpec, cfg: PlannerConfig, q0, qN,
     d = robot.num_joints
     if theta0 is None:
         theta0 = min_jerk_init(q0, qN, N)
-    zeros_m = jnp.zeros((cfg.max_iterations,), jnp.float32)
+    # with record_metrics off the per-iteration series are zero-length:
+    # _record's scatters become dropped-OOB no-ops and the while-loop carry
+    # stops hauling 5×[max_iterations] buffers per scenario
+    n_m = cfg.max_iterations if cfg.record_metrics else 0
+    zeros_m = jnp.zeros((n_m,), jnp.float32)
     return SolverState(
         theta=theta0,
         key=key,
@@ -386,7 +392,7 @@ def init_state(robot: RobotSpec, cfg: PlannerConfig, q0, qN,
         reuse_theta=jnp.broadcast_to(
             theta0, (cfg.noise.num_rollouts_reused, N, d)),
         m_total=zeros_m, m_obstacle=zeros_m, m_smooth=zeros_m,
-        m_constraint=zeros_m, m_cf=jnp.zeros((cfg.max_iterations,), bool),
+        m_constraint=zeros_m, m_cf=jnp.zeros((n_m,), bool),
     )
 
 
@@ -602,14 +608,16 @@ def make_step_batch_tm(robot: RobotSpec, world, constraints,
         totals = jnp.sum(S_all, axis=2) + cfg.weights.smoothness * ctrl_sums
 
         # --- update (A.9/A.10), time-major ----------------------------
-        eps_full = cand_tm - theta_tm[..., None]   # re-centered noise (A.3)
+        # re-centered noise (A.3) enters as ΣP·cand − θ·ΣP (update_tm_cand)
+        # so the [N,d,B,K] eps tensor is never materialized
         S_used = S_all[:, 1:, :]
         if cfg.pi2_include_control_cost:
             S_used = S_used + cfg.weights.smoothness * ctrl_all[:, 1:, :]
         if cfg.pi2_cost_mode == "cumulative":
             S_used = jnp.cumsum(S_used[:, :, ::-1], axis=2)[:, :, ::-1]
-        delta = pi2.update_tm(eps_full[..., 1:], S_used[:, :, 1:-1],
-                              ops.M, cfg.pi2_h)               # [B, N, d]
+        delta = pi2.update_tm_cand(cand_tm[..., 1:], theta_tm,
+                                   S_used[:, :, 1:-1],
+                                   ops.M, cfg.pi2_h)          # [B, N, d]
         theta_new = jax.vmap(project)(stateB.theta + delta)
 
         # rollout reuse: lowest-total-cost noisy candidates (A.3)
