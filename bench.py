@@ -36,16 +36,32 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def headline(backend="pallas"):
+def headline(backend="auto"):
+    """p50 replan latency, config 2, B=1.
+
+    backend="auto" resolves exactly as plan() would for a single query
+    (batch_hint=1) — the production default path. On TPU that is XLA: at
+    B=1 the metric is dispatch-bound and pallas is equal-speed warm
+    (r2: 25.1 vs 24.5 ms) but pays a ~70–100 s per-process Mosaic
+    first-touch through the relay that no cache avoids (see
+    api/plan.resolve_backend). The forced-pallas headline is still
+    recorded alongside for comparison.
+    """
     from tpustomp.api.plan import plan, resolve_backend
     from tpustomp.api.problem import ProblemSpec
     from bench.common import config2_cfg, config2_scene
 
     robot, world, q0, qN = config2_scene()
-    cfg = config2_cfg(obstacle_backend=backend)
-    # "pallas" is only valid where the fused kernel supports the scene; fall
-    # back to whatever auto resolves to (xla on CPU) so smoke runs still work
-    if backend == "pallas":
+    # num_restarts=2: closes the ~5%-of-seeds convergence failures (r2
+    # recorded success_rate 0.95 without comment — VERDICT r2 item 6).
+    # Restarts are a vmapped axis, so the latency cost is bounded by the
+    # slower of two parallel solves, not 2x.
+    cfg = config2_cfg(obstacle_backend=backend, num_restarts=2)
+    if backend == "auto":
+        cfg = resolve_backend(cfg, robot, world, batch_hint=1)
+    elif backend == "pallas":
+        # only valid where the fused kernel supports the scene; fall back to
+        # auto's resolution (xla on CPU) so smoke runs still work
         resolved = resolve_backend(cfg.replace(obstacle_backend="auto"),
                                    robot, world)
         cfg = resolved if resolved.obstacle_backend == "pallas" else resolved
@@ -134,14 +150,15 @@ def main():
     log(f"device: {dev} ({dev.platform})")
 
     details = {"device": str(dev)}
-    res = headline("pallas" if on_tpu else "auto")
+    res = headline("auto")   # the production B=1 path (xla on TPU; see doc)
     details["replan_latency_config2"] = res
     fast = os.environ.get("BENCH_FAST") == "1"
     if not fast:
-        try:
-            details["replan_latency_config2_xla"] = headline("xla")
-        except Exception as e:  # pragma: no cover
-            log(f"xla headline failed: {e}")
+        if on_tpu:
+            try:
+                details["replan_latency_config2_pallas"] = headline("pallas")
+            except Exception as e:  # pragma: no cover
+                log(f"pallas headline failed: {e}")
         try:
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             from bench.rollouts_per_sec import run as rps_run
@@ -149,9 +166,17 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"rollouts/s bench failed: {e}")
         try:
+            details["throughput_config4_B256"] = solves_per_sec(256)
             details["throughput_config4_B1024"] = solves_per_sec(1024)
         except Exception as e:  # pragma: no cover
-            log(f"B=1024 solves/s bench failed: {e}")
+            log(f"solves/s bench failed: {e}")
+        if on_tpu:
+            try:
+                sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+                from bench.scaling import run_dispatch_bound
+                details["multi_host_dispatch_bound"] = run_dispatch_bound(1024)
+            except Exception as e:  # pragma: no cover
+                log(f"dispatch-bound bench failed: {e}")
         if on_tpu:
             try:
                 from bench.kernel_parity import run as parity_run

@@ -28,16 +28,33 @@ from tpustomp.engine import solver
 from tpustomp.robot.model import RobotSpec
 
 
-def resolve_backend(cfg: PlannerConfig, robot, world) -> PlannerConfig:
+def resolve_backend(cfg: PlannerConfig, robot, world,
+                    batch_hint: int = 16) -> PlannerConfig:
     """Resolve obstacle_backend="auto" to a concrete backend: the fused
     pallas kernels on TPU (fully fused for analytic worlds; hybrid
     FK-kernel + XLA gather for grid worlds), else the XLA path
-    (kernels/rollout_pallas.py)."""
+    (kernels/rollout_pallas.py).
+
+    batch_hint: how many scenarios the caller will run concurrently.
+    Below 16 scenarios "auto" picks XLA even on TPU: at B=1 the two
+    backends are equal-speed (the latency metric is dispatch-bound —
+    r2: 25.1 vs 24.5 ms p50) and the pallas path pays a 70–100 s
+    PER-PROCESS first-touch cost in this environment that no cache
+    avoids: Mosaic kernel lowering runs remotely through the relay
+    (measured: lower() 104 s wall / 0.3 s CPU), and a jax.export-cached
+    artifact just moves the same cost to the first dispatch (the remote
+    side rebuilds the kernel at first touch; XLA-only programs
+    persistent-cache fully, 2.3 s cold). Pallas pays off batched
+    (2.2–2.7x at B>=256), so plan_batch/plan_sharded/MPC pass their
+    real batch size. Forcing obstacle_backend="pallas" bypasses the
+    heuristic entirely.
+    """
     if cfg.obstacle_backend != "auto":
         return cfg
     from tpustomp.kernels import rollout_pallas
 
     use = (jax.default_backend() == "tpu"
+           and batch_hint >= 16
            and rollout_pallas.supports(robot, world))
     return cfg.replace(obstacle_backend="pallas" if use else "xla")
 
@@ -180,7 +197,8 @@ def plan(robot: RobotSpec, world, problem: ProblemSpec,
     """Solve one planning query. Returns a Solution pytree (device arrays)."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    cfg = resolve_backend(cfg, robot, world)
+    cfg = resolve_backend(cfg, robot, world,
+                          batch_hint=max(1, cfg.num_restarts))
     q0 = jnp.asarray(problem.q0, jnp.float32)
     qN = jnp.asarray(problem.qN, jnp.float32)
     qN = _apply_goal_tolerance(robot, world, problem, cfg, q0, qN,
@@ -222,7 +240,8 @@ def plan_timed(robot: RobotSpec, world, problem: ProblemSpec,
 
     if key is None:
         key = jax.random.PRNGKey(0)
-    cfg = resolve_backend(cfg, robot, world)
+    cfg = resolve_backend(cfg, robot, world,
+                          batch_hint=max(1, cfg.num_restarts))
     q0 = jnp.asarray(problem.q0, jnp.float32)
     qN = jnp.asarray(problem.qN, jnp.float32)
     qN = _apply_goal_tolerance(robot, world, problem, cfg, q0, qN,
@@ -280,7 +299,8 @@ def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,
     qN = jnp.asarray(problem.qN, jnp.float32)
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), q0.shape[0])
-    cfg = resolve_backend(cfg, robot, world)
+    cfg = resolve_backend(cfg, robot, world,
+                          batch_hint=q0.shape[0] * max(1, cfg.num_restarts))
     qN = _apply_goal_tolerance(robot, world, problem, cfg, q0, qN,
                                batched=True)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)

@@ -118,7 +118,8 @@ def plan_sharded(robot, world, problem: ProblemSpec,
         local = q0.shape[0]
         keys = keys[jax.process_index() * local:(jax.process_index() + 1) * local]
     from tpustomp.api.plan import resolve_backend
-    cfg = resolve_backend(cfg, robot, world)
+    cfg = resolve_backend(cfg, robot, world,
+                          batch_hint=q0.shape[0] * jax.process_count())
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
     fn = _sharded_solve(cfg, mesh, constraints is not None)
     return fn(robot, world, constraints, ops,

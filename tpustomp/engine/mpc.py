@@ -308,7 +308,8 @@ def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     if mesh is None:
         mesh = make_mesh()
     from tpustomp.api.plan import resolve_backend
-    cfg = resolve_backend(cfg, robot, _probe_world(static_world))
+    cfg = resolve_backend(cfg, robot, _probe_world(static_world),
+                          batch_hint=jax.tree.leaves(state)[0].shape[0])
     state = jax.tree.map(lambda x: _shard_batch(np.asarray(x), mesh), state)
     fn = _sharded_mpc(cfg, mesh, num_ticks, world_dt)
     return fn(robot, state, jnp.asarray(sphere_radius, jnp.float32),
@@ -375,7 +376,10 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     # recovered scenario must be numerically identical to a fault-free run
     # (candidate argmins can flip across backends).
     from tpustomp.api.plan import resolve_backend
-    cfg = resolve_backend(cfg, robot, _probe_world(static_world))
+    # batch_hint: the FULL batch (never the retry subset) so healthy and
+    # recovery dispatches resolve to the same backend
+    cfg = resolve_backend(cfg, robot, _probe_world(static_world),
+                          batch_hint=jax.tree.leaves(state)[0].shape[0])
     # Device/runtime faults are retryable; deterministic programming errors
     # (shape bugs, tracer leaks) are not — re-raise those immediately.
     from jax.errors import JaxRuntimeError as _RetryableError
