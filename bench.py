@@ -62,9 +62,8 @@ def headline(backend="auto"):
     elif backend == "pallas":
         # only valid where the fused kernel supports the scene; fall back to
         # auto's resolution (xla on CPU) so smoke runs still work
-        resolved = resolve_backend(cfg.replace(obstacle_backend="auto"),
-                                   robot, world)
-        cfg = resolved if resolved.obstacle_backend == "pallas" else resolved
+        cfg = resolve_backend(cfg.replace(obstacle_backend="auto"),
+                              robot, world)
     prob = ProblemSpec(q0=q0, qN=qN)
 
     t0 = time.perf_counter()

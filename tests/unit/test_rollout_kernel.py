@@ -317,6 +317,14 @@ def test_solve_batch_with_done_scenarios_matches_vmap_solve():
         robot, world, None, cfg, ops, a, b, k))(Q0, QN, keys)
     its = np.asarray(got.iterations)
     assert len(set(its.tolist())) > 1, "need staggered convergence"
+    # Exact success/iteration equality is intentional: on the XLA CPU path
+    # the tm step reduces over the same axes as vmap(solve), so discrete
+    # outcomes should not differ at all. The two layouts CAN differ at ULP
+    # level (different dot tilings), so a near-threshold seed could in
+    # principle flip a margin comparison; this seed (PRNGKey(2), rng 11)
+    # was checked to converge with healthy margins. If it ever flakes,
+    # compare against solve_batch under TPUSTOMP_PALLAS_LAYOUT=cm instead
+    # of vmap(solve) — same layout, bitwise-stable.
     np.testing.assert_array_equal(np.asarray(got.success),
                                   np.asarray(ref.success))
     np.testing.assert_array_equal(np.asarray(got.iterations),

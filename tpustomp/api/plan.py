@@ -304,15 +304,14 @@ def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,
     qN = _apply_goal_tolerance(robot, world, problem, cfg, q0, qN,
                                batched=True)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
-    R = max(1, cfg.num_restarts)
-    if _use_compaction(cfg, q0.shape[0] * R):
+    if _use_compaction(cfg):
         return _plan_batch_compacted(robot, world, constraints, cfg, ops,
                                      q0, qN, keys)
     return _jitted_solve_batch(cfg, constraints is not None)(
         robot, world, constraints, ops, q0, qN, keys)
 
 
-def _use_compaction(cfg: PlannerConfig, total_batch: int) -> bool:
+def _use_compaction(cfg: PlannerConfig) -> bool:
     if cfg.mode != "stomp" or cfg.batch_compaction == "off":
         return False
     if cfg.batch_compaction == "on":

@@ -127,13 +127,30 @@ def plan_sharded(robot, world, problem: ProblemSpec,
               _shard_batch(np.asarray(keys), mesh))
 
 
+@functools.lru_cache(maxsize=1)
+def _summarize_jit():
+    return jax.jit(lambda succ, cost, iters: (
+        jnp.mean(succ.astype(jnp.float32)),
+        jnp.mean(cost),
+        jnp.mean(iters.astype(jnp.float32))))
+
+
 def summarize(sol: Solution) -> dict:
-    """Global scalar metrics of a batched Solution (reductions happen on
-    device; under a mesh XLA lowers them to psum-style collectives)."""
+    """Global scalar metrics of a batched Solution.
+
+    Correct for both plain batched arrays and the globally-sharded output
+    of `plan_sharded` in real multi-process runs: the leading axis of a
+    global jax.Array is already the GLOBAL scenario count (never multiply
+    by process_count), and the reductions run under jit so the scalars
+    come back fully replicated — every process can read them, whereas
+    `float(jnp.mean(x))` on a non-fully-addressable sharded operand raises.
+    Exercised under 2-process jax.distributed in tests/distributed/
+    (_mp_worker.py asserts the global count and cross-process agreement).
+    """
+    sr, mc, mi = _summarize_jit()(sol.success, sol.cost, sol.iterations)
     return {
-        "num_scenarios": int(sol.success.shape[0]) * jax.process_count()
-        if jax.process_count() > 1 else int(sol.success.shape[0]),
-        "success_rate": float(jnp.mean(sol.success.astype(jnp.float32))),
-        "mean_cost": float(jnp.mean(sol.cost)),
-        "mean_iterations": float(jnp.mean(sol.iterations.astype(jnp.float32))),
+        "num_scenarios": int(sol.success.shape[0]),
+        "success_rate": float(sr),
+        "mean_cost": float(mc),
+        "mean_iterations": float(mi),
     }

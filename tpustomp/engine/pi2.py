@@ -47,6 +47,12 @@ def update_tm(eps_tm: jnp.ndarray, S: jnp.ndarray, M: jnp.ndarray,
     """Batched A.9/A.10 on TIME-MAJOR noise: eps_tm [N, d, B, K],
     S [B, K, N] -> δθ [B, N, d].
 
+    NOTE: test-only reference implementation. The production time-major
+    step (solver.make_step_batch_tm) calls `update_tm_cand`, which computes
+    the same update without materializing eps; this explicit-eps form is
+    kept as the readable specification that update_tm_cand's algebra is
+    unit-tested against (tests/unit/test_pi2.py).
+
     Same math as `vmap(update)` over scenarios; the P-weighted reduce and
     the M projection run in the kernel's lane-major layout so the big noise
     tensor is consumed without a scenario-major transpose (see

@@ -517,7 +517,8 @@ def make_step_batch_tm(robot: RobotSpec, world, constraints,
     reduces over the same axis, and only axis labels differ (dot tilings may
     differ at ULP level across backends; equality is asserted exactly on the
     XLA CPU path and at 1e-6 through pallas interpret — see
-    tests/unit/test_rollout_kernel.py and tests/integration/test_tm_step.py).
+    tests/unit/test_rollout_kernel.py::test_solve_batch_with_done_scenarios
+    _matches_vmap_solve and tests/unit/test_tm_layout.py).
     """
     from tpustomp.costs.smoothness import smoothness_cost_per_timestep_tm
     from tpustomp.engine.sampling import sample_noise_tm
