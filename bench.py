@@ -94,11 +94,18 @@ def headline(backend="auto"):
     return res
 
 
-def solves_per_sec(B=1024):
+def solves_per_sec(B=1024, retry=False, n=5):
     """BASELINE metric 3: solves/s at the config-4 shape (B scenarios vmapped
-    on one chip, fused backend, full solve-to-termination workload)."""
+    on one chip, fused backend, full solve-to-termination workload).
+
+    retry=True: the success=1.0 row (VERDICT r3 item 2) — plan_batch_retry
+    re-solves failed rows (typically <=10%) with 4 restarts folded into the
+    small retry batch, so the headline holds at full success for the cost of
+    one extra small dispatch instead of doubling the whole batch's work.
+    Every scalar is reported as {median, min, max, n} over `n` repeats.
+    """
     import jax.numpy as jnp
-    from tpustomp.api.plan import plan_batch
+    from tpustomp.api.plan import plan_batch, plan_batch_retry
     from tpustomp.api.problem import ProblemSpec
     from bench.common import config2_cfg, config2_scene
 
@@ -108,29 +115,37 @@ def solves_per_sec(B=1024):
     Q0 = (np.tile(q0, (B, 1)) + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
     QN = (np.tile(qN, (B, 1)) + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
     prob = ProblemSpec(q0=Q0, qN=QN)
+    solve = plan_batch_retry if retry else plan_batch
 
     t0 = time.perf_counter()
-    sol = plan_batch(robot, world, prob, cfg,
-                     keys=jax.random.split(jax.random.PRNGKey(0), B))
+    sol = solve(robot, world, prob, cfg,
+                keys=jax.random.split(jax.random.PRNGKey(0), B))
     _ = float(jnp.sum(sol.cost))
-    log(f"batched B={B} compile+first: {time.perf_counter() - t0:.1f}s")
-    ts = []
-    for i in (1, 2, 3):
+    log(f"batched B={B} retry={retry} compile+first: "
+        f"{time.perf_counter() - t0:.1f}s")
+    ts, succs = [], []
+    for i in range(1, n + 1):
         t0 = time.perf_counter()
-        sol = plan_batch(robot, world, prob, cfg,
-                         keys=jax.random.split(jax.random.PRNGKey(i), B))
+        sol = solve(robot, world, prob, cfg,
+                    keys=jax.random.split(jax.random.PRNGKey(i), B))
         _ = float(jnp.sum(sol.cost))
         ts.append(time.perf_counter() - t0)
+        succs.append(float(jnp.mean(sol.success.astype(jnp.float32))))
     dt = float(np.median(ts))
     mi = float(jnp.mean(sol.iterations.astype(jnp.float32)))
     res = {
         "batch": B,
-        "solves_per_sec": B / dt,
-        "success_rate": float(jnp.mean(sol.success.astype(jnp.float32))),
+        "n": n,
+        "solves_per_sec": {"median": B / dt,
+                           "min": B / float(np.max(ts)),
+                           "max": B / float(np.min(ts))},
+        "success_rate": {"median": float(np.median(succs)),
+                         "min": float(np.min(succs)),
+                         "max": float(np.max(succs))},
         "mean_iterations": mi,
         "rollouts_per_sec_implied": B * 56 * mi / dt,  # 56 candidates/iter
     }
-    log(f"solves/s B={B}: {res}")
+    log(f"solves/s B={B} retry={retry}: {res}")
     return res
 
 
@@ -167,15 +182,26 @@ def main():
         try:
             details["throughput_config4_B256"] = solves_per_sec(256)
             details["throughput_config4_B1024"] = solves_per_sec(1024)
+            details["throughput_config4_B1024_full_success"] = solves_per_sec(
+                1024, retry=True)
         except Exception as e:  # pragma: no cover
             log(f"solves/s bench failed: {e}")
         if on_tpu:
             try:
                 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-                from bench.scaling import run_dispatch_bound
-                details["multi_host_dispatch_bound"] = run_dispatch_bound(1024)
+                from bench.scaling import run_dispatch_bound, \
+                    run_pipelined_bound
+                details["multi_host_efficiency_pipelined"] = \
+                    run_pipelined_bound(1024)
+                details["multi_host_dispatch_bound_serialized"] = \
+                    run_dispatch_bound(1024)
             except Exception as e:  # pragma: no cover
-                log(f"dispatch-bound bench failed: {e}")
+                log(f"scaling benches failed: {e}")
+            try:
+                from bench.mpc_bench import run as mpc_run
+                details["mpc_config5"] = mpc_run(B=8192)
+            except Exception as e:  # pragma: no cover
+                log(f"mpc config-5 bench failed: {e}")
         if on_tpu:
             try:
                 from bench.kernel_parity import run as parity_run

@@ -188,17 +188,18 @@ def run_dispatch_bound(B=1024):
         return time.perf_counter() - t0
 
     chain(1)  # compile + warm
-    t1 = min(chain(1) for _ in range(3))
-    t3 = min(chain(3) for _ in range(3))
-    t_solve = (t3 - t1) / 2.0
+    t1s = [chain(1) for _ in range(5)]
+    t3s = [chain(3) for _ in range(5)]
+    t_solve = (min(t3s) - min(t1s)) / 2.0
+    solve_spread = ((np.median(t3s) - np.median(t1s)) / 2.0 - t_solve)
 
     prob = ProblemSpec(q0=Q0, qN=QN)
     cfgp = cfg.replace(batch_compaction="off")
     plan_batch(robot, world, prob, cfgp, keys=keys)  # warm
 
-    def e2e(gather):
+    def e2e(gather, n=5):
         ts = []
-        for i in range(3):
+        for i in range(n):
             t0 = time.perf_counter()
             sol = plan_batch(robot, world, prob, cfgp, keys=keys)
             if gather == "full":       # every Solution leaf to host
@@ -207,7 +208,8 @@ def run_dispatch_bound(B=1024):
                 _ = np.asarray(sol.trajectory)
                 _ = np.asarray(sol.success)
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return {"median_s": float(np.median(ts)), "min_s": float(np.min(ts)),
+                "max_s": float(np.max(ts)), "n": n}
 
     t_full = e2e("full")
     t_min = e2e("min")
@@ -215,20 +217,136 @@ def run_dispatch_bound(B=1024):
     out = {
         "batch": B,
         "t_device_solve_slope_s": t_solve,
-        "t_end_to_end_full_gather_s": t_full,
-        "t_end_to_end_min_gather_s": t_min,
-        "multi_host_efficiency_bound_full_gather": t_solve / t_full,
-        "multi_host_efficiency_bound_min_gather": t_solve / t_min,
-        "note": "per-host bound: shard dispatch+gather is host-local and "
-                "there are zero in-loop collectives, so weak-scaling "
-                "efficiency on independent hosts ~= solve/(solve+dispatch). "
-                "CAVEAT: on this relay every device->host pull costs a "
-                "~25 ms fixed round trip, so the full-gather bound (one "
-                "pull per Solution leaf) is pessimistic by ~n_leaves*25 ms "
-                "vs real hardware; min_gather (trajectory+success, the "
-                "serving path) is the realistic per-host cost here.",
+        "t_device_solve_slope_spread_s": float(abs(solve_spread)),
+        "t_end_to_end_full_gather": t_full,
+        "t_end_to_end_min_gather": t_min,
+        "serialized_efficiency_full_gather":
+            t_solve / t_full["median_s"],
+        "serialized_efficiency_min_gather":
+            t_solve / t_min["median_s"],
+        "note": "SERIALIZED bound (prep->solve->gather per batch, no "
+                "overlap): what a naive per-batch caller pays. The "
+                "production serving loop is plan_batch_stream, measured by "
+                "run_pipelined_bound — host work there overlaps device "
+                "compute, so this serialized figure is a floor, not the "
+                "operative efficiency. Relay caveat: every device->host "
+                "pull costs ~25 ms fixed that real pod hosts do not pay.",
     }
     log(f"dispatch bound: {out}")
+    return out
+
+
+def run_pipelined_bound(B=1024, nbatches=8, reps=5, max_iterations=50):
+    """THE operative multi-host efficiency number (VERDICT r3 item 1):
+    steady-state per-host efficiency of the PIPELINED serving loop
+    (api/plan.plan_batch_stream), measured on the real chip with the slope
+    methodology and reported as a distribution (median + spread over
+    `reps` within-process repeats), not a best run.
+
+    Per-host weak-scaling efficiency on independent hosts
+      = t_device_solve / t_sustained_per_batch,
+    because scenarios never shard across hosts and there are zero in-loop
+    collectives (SURVEY §3.3/§3.4) — each host just needs to keep its own
+    chip fed. The stream keeps `depth` batches in flight, so host
+    prep/dispatch/gather overlap device compute and the sustained per-batch
+    time approaches max(t_solve, t_host) instead of t_solve + t_host.
+
+    Methodology: t_solve from the chained-solve slope (fixed relay dispatch
+    cost cancels); sustained per-batch time from the slope between
+    nbatches- and 2*nbatches-long streams (pipeline fill/drain cancels).
+    Every streamed batch reuses the same (Q0, QN, keys) so the device work
+    per batch is IDENTICAL to the slope chain's; the generator still
+    rebuilds the host-side problem arrays each batch, so realistic host
+    prep cost stays in the loop.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    from tpustomp.api.plan import (plan_batch, plan_batch_stream,
+                                   resolve_backend)
+    from tpustomp.api.problem import ProblemSpec
+    from tpustomp.dynamics.device import device_ops
+    from tpustomp.engine import solver
+
+    robot, world, q0, qN = config2_scene()
+    cfg = resolve_backend(
+        config2_cfg(max_iterations=max_iterations).replace(
+            batch_compaction="off"), robot, world)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    def make_arrays():
+        rng = np.random.default_rng(0)
+        Q0 = (np.tile(q0, (B, 1))
+              + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
+        QN = (np.tile(qN, (B, 1))
+              + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
+        return Q0, QN
+
+    Q0, QN = make_arrays()
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+
+    # --- device-only slope (same batch as the stream) -------------------
+    fn = jax.jit(lambda s, a, b, k: solver.solve_batch(
+        robot, world, None, cfg, ops, a, b, k).cost.sum() + 0.0 * s)
+    Q0d, QNd = jnp.asarray(Q0), jnp.asarray(QN)
+
+    def chain(n):
+        s = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = fn(0.0 * s, Q0d, QNd, keys)
+        _ = float(s)
+        return time.perf_counter() - t0
+
+    chain(1)  # compile + warm
+    t_solves = [(chain(3) - chain(1)) / 2.0 for _ in range(reps)]
+    t_solve = float(np.median(t_solves))
+
+    # --- pipelined stream slope ----------------------------------------
+    prob_warm = ProblemSpec(q0=Q0, qN=QN)
+    plan_batch(robot, world, prob_warm, cfg, keys=keys)  # warm jit cache
+
+    def gen(n):
+        for _ in range(n):
+            a, b = make_arrays()  # realistic per-batch host prep
+            yield ProblemSpec(q0=a, qN=b), keys
+
+    def stream_time(n):
+        t0 = time.perf_counter()
+        for _out in plan_batch_stream(robot, world, gen(n), cfg, depth=2):
+            pass
+        return time.perf_counter() - t0
+
+    stream_time(2)  # prime
+    per_batch, effs = [], []
+    for _ in range(reps):
+        tn = stream_time(nbatches)
+        t2n = stream_time(2 * nbatches)
+        pb = (t2n - tn) / nbatches
+        per_batch.append(pb)
+        effs.append(t_solve / pb)
+    out = {
+        "batch": B,
+        "nbatches_slope": nbatches,
+        "n": reps,
+        "t_device_solve_slope_s": {
+            "median": t_solve, "min": float(np.min(t_solves)),
+            "max": float(np.max(t_solves))},
+        "t_sustained_per_batch_s": {
+            "median": float(np.median(per_batch)),
+            "min": float(np.min(per_batch)),
+            "max": float(np.max(per_batch))},
+        "pipelined_efficiency": {
+            "median": float(np.median(effs)), "min": float(np.min(effs)),
+            "max": float(np.max(effs))},
+        "sustained_solves_per_sec": B / float(np.median(per_batch)),
+        "note": "per-host multi-host weak-scaling efficiency = device "
+                "slope / sustained streamed per-batch time (pipeline "
+                "fill/drain and fixed relay costs cancel in the slopes); "
+                "distribution over within-process repeats.",
+    }
+    log(f"pipelined bound: {out}")
     return out
 
 
@@ -238,5 +356,7 @@ if __name__ == "__main__":
         print(json.dumps(run_multiprocess()))
     elif "--dispatch-bound" in sys.argv:
         print(json.dumps(run_dispatch_bound()))
+    elif "--pipelined" in sys.argv:
+        print(json.dumps(run_pipelined_bound()))
     else:
         print(json.dumps(run()))

@@ -1,0 +1,120 @@
+"""Pipelined serving stream + targeted failed-row retry (api/plan.py).
+
+plan_batch_stream is the multi-host serving loop's per-host driver: results
+must be identical to calling plan_batch per batch (pipelining only changes
+WHEN host syncs happen, never what is computed). plan_batch_retry must keep
+successful rows bit-identical and only ever improve the success mask.
+"""
+
+import numpy as np
+
+import jax
+
+from tpustomp.api.config import CostWeights, NoiseConfig, PlannerConfig
+from tpustomp.api.plan import plan_batch, plan_batch_retry, plan_batch_stream
+from tpustomp.api.problem import ProblemSpec
+from tpustomp.robot import model
+from tpustomp.world.sdf import AnalyticWorld
+
+
+def _scene():
+    robot = model.planar_2r(body_radius=0.05)
+    world = AnalyticWorld.make(spheres=[((1.88, 0.42, 0.0), 0.27)])
+    return robot, world
+
+
+def _cfg(**kw):
+    base = dict(
+        num_timesteps=16, duration=1.7, num_rollouts=6,
+        noise=NoiseConfig(stddev=0.25, decay=0.995, num_rollouts_reused=2),
+        weights=CostWeights(obstacle=1.0, smoothness=0.1),
+        collision_clearance=0.1, max_iterations=12,
+        max_iterations_after_collision_free=4, record_metrics=False)
+    base.update(kw)
+    return PlannerConfig(**base)
+
+
+def _problems(B, nbatches, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(nbatches):
+        q0 = (np.tile([-0.56, 1.65], (B, 1))
+              + rng.uniform(-0.05, 0.05, (B, 2))).astype(np.float32)
+        qN = (np.tile([1.16, -1.46], (B, 1))
+              + rng.uniform(-0.05, 0.05, (B, 2))).astype(np.float32)
+        keys = jax.random.split(jax.random.PRNGKey(100 + i), B)
+        out.append((ProblemSpec(q0=q0, qN=qN), keys))
+    return out
+
+def test_stream_matches_per_batch_plan_batch():
+    robot, world = _scene()
+    cfg = _cfg()
+    items = _problems(B=6, nbatches=5)
+    got = list(plan_batch_stream(robot, world, iter(items), cfg, depth=2,
+                                 gather="serving"))
+    assert len(got) == len(items)
+    for (prob, keys), (traj, succ) in zip(items, got):
+        ref = plan_batch(robot, world, prob, cfg, keys=keys)
+        np.testing.assert_array_equal(succ, np.asarray(ref.success))
+        np.testing.assert_allclose(traj, np.asarray(ref.trajectory),
+                                   rtol=0, atol=0)
+
+
+def test_stream_gather_modes():
+    robot, world = _scene()
+    cfg = _cfg()
+    items = _problems(B=4, nbatches=3, seed=3)
+    full = list(plan_batch_stream(robot, world, iter(items), cfg,
+                                  gather="full"))
+    raw = list(plan_batch_stream(robot, world, iter(items), cfg,
+                                 gather="none"))
+    assert len(full) == len(raw) == 3
+    for f, r in zip(full, raw):
+        assert isinstance(f.trajectory, np.ndarray)
+        np.testing.assert_array_equal(f.trajectory, np.asarray(r.trajectory))
+
+
+def test_stream_depth_does_not_change_results():
+    robot, world = _scene()
+    cfg = _cfg()
+    items = _problems(B=4, nbatches=4, seed=7)
+    a = list(plan_batch_stream(robot, world, iter(items), cfg, depth=1,
+                               gather="serving"))
+    b = list(plan_batch_stream(robot, world, iter(items), cfg, depth=3,
+                               gather="serving"))
+    for (ta, sa), (tb, sb) in zip(a, b):
+        np.testing.assert_array_equal(ta, tb)
+        np.testing.assert_array_equal(sa, sb)
+
+
+def test_retry_recovers_failed_rows_and_keeps_successful_ones():
+    robot, world = _scene()
+    # tight budget + low noise: some seeds fail the first pass
+    cfg = _cfg(max_iterations=4, max_iterations_after_collision_free=2,
+               noise=NoiseConfig(stddev=0.12, decay=0.995,
+                                 num_rollouts_reused=2))
+    B = 24
+    rng = np.random.default_rng(5)
+    q0 = (np.tile([-0.56, 1.65], (B, 1))
+          + rng.uniform(-0.08, 0.08, (B, 2))).astype(np.float32)
+    qN = (np.tile([1.16, -1.46], (B, 1))
+          + rng.uniform(-0.08, 0.08, (B, 2))).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    prob = ProblemSpec(q0=q0, qN=qN)
+
+    base = plan_batch(robot, world, prob, cfg, keys=keys)
+    base_succ = np.asarray(base.success)
+    assert not base_succ.all(), "fixture must produce some failures"
+
+    sol = plan_batch_retry(robot, world, prob, cfg, keys=keys,
+                           max_rounds=2, retry_restarts=4)
+    succ = np.asarray(sol.success)
+    # never loses a success; strictly recovers at least one row here
+    assert (succ | ~base_succ).all()
+    assert succ.sum() > base_succ.sum()
+    # successful first-pass rows are untouched (exact)
+    ok = np.flatnonzero(base_succ)
+    np.testing.assert_array_equal(np.asarray(sol.trajectory)[ok],
+                                  np.asarray(base.trajectory)[ok])
+    np.testing.assert_array_equal(np.asarray(sol.iterations)[ok],
+                                  np.asarray(base.iterations)[ok])

@@ -311,6 +311,131 @@ def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,
         robot, world, constraints, ops, q0, qN, keys)
 
 
+def plan_batch_stream(robot: RobotSpec, world, problems,
+                      cfg: PlannerConfig = PlannerConfig(),
+                      constraints=None, depth: int = 2,
+                      gather: str = "serving"):
+    """Pipelined batched serving: a generator over batches of queries.
+
+    `problems`: iterable of ProblemSpec (q0/qN: [B, d]) or (ProblemSpec,
+    keys) pairs. Yields one result per input batch, in order.
+
+    Why this exists (the multi-host serving loop): `plan_batch` is
+    async-dispatch — the jitted solve is queued and control returns — but a
+    caller that does prep → solve → gather per batch serializes the three,
+    so each host pays solve + host-work per batch. This driver keeps up to
+    `depth` batches in flight: while the device solves batch i, the host is
+    already preparing and dispatching batch i+1 and gathering batch i−depth
+    (the blocking device→host pull overlaps device compute of the queued
+    batches). Steady-state time per batch becomes max(t_solve, t_host)
+    instead of t_solve + t_host, which is what makes ≥80% per-host
+    weak-scaling efficiency achievable and *stable*: per-host efficiency in
+    a multi-host run = t_solve / max(t_solve, t_host) because scenarios
+    never shard across hosts and there are zero in-loop collectives
+    (SURVEY §3.3/§3.4). Measured on the real chip: bench/scaling.py
+    run_pipelined_bound.
+
+    gather: "serving" yields (trajectory, success) as host numpy arrays —
+    the serving-path result; "full" yields the whole Solution pytree as
+    numpy; "none" yields the raw device Solution (caller controls the sync
+    point). depth=2 is enough to cover host work with device compute;
+    deeper queues only add memory.
+
+    Requires cfg.batch_compaction resolved to off (the default on this
+    relay): host-side compaction syncs per chunk, which would serialize
+    the stream.
+    """
+    import collections
+
+    inflight = collections.deque()
+
+    def _out(sol: Solution):
+        import numpy as np
+        if gather == "serving":
+            return np.asarray(sol.trajectory), np.asarray(sol.success)
+        if gather == "full":
+            return jax.tree.map(np.asarray, sol)
+        return sol
+
+    for item in problems:
+        prob, keys = item if isinstance(item, tuple) else (item, None)
+        sol = plan_batch(robot, world, prob, cfg, keys=keys,
+                         constraints=constraints)
+        inflight.append(sol)
+        while len(inflight) > depth:
+            yield _out(inflight.popleft())
+    while inflight:
+        yield _out(inflight.popleft())
+
+
+def plan_batch_retry(robot: RobotSpec, world, problem: ProblemSpec,
+                     cfg: PlannerConfig = PlannerConfig(),
+                     keys: jax.Array | None = None, constraints=None,
+                     max_rounds: int = 2, retry_restarts: int = 4
+                     ) -> Solution:
+    """`plan_batch` + targeted re-solve of failed rows (serving pattern).
+
+    The batched headline must hold at success = 1.0, and folding restarts
+    into EVERY scenario doubles the whole batch's work to fix a few percent
+    of rows. Instead: solve the batch once, pull the success mask (one
+    device→host bool pull), gather the failed rows (typically ≤10%), and
+    re-solve only those with fresh key splits and `retry_restarts` restarts
+    folded into their (small) scenario axis; scatter the recovered rows
+    back. Rows are independent, so the merge is exact. Up to `max_rounds`
+    retry rounds; each round compiles once per distinct padded retry-batch
+    size (padded to the next power of two, min 16, so retry shapes are
+    reused across calls).
+    """
+    import numpy as np
+
+    q0 = jnp.asarray(problem.q0, jnp.float32)
+    if keys is None:
+        keys = jax.random.split(jax.random.PRNGKey(0), q0.shape[0])
+    sol = plan_batch(robot, world, problem, cfg, keys=keys,
+                     constraints=constraints)
+    for rnd in range(max_rounds):
+        failed = np.flatnonzero(~np.asarray(sol.success))
+        if failed.size == 0:
+            break
+        # Every device array in this loop is PADDED to the bucket size, so
+        # each (bucket, round) pair compiles exactly once and repeat calls
+        # with different failed sets hit warm programs (padding rows
+        # duplicate failed[0]; the duplicate scatters below rewrite the
+        # same recovered row — benign). Un-padded shapes here caused a
+        # per-call recompile of the eager merge ops (measured: 8.5 s/call).
+        pad = max(16, 1 << int(np.ceil(np.log2(failed.size))))
+        idx = np.concatenate([failed, np.repeat(failed[:1],
+                                                pad - failed.size)])
+        idx_d = jnp.asarray(idx)
+        sub = ProblemSpec(
+            q0=_gather_rows_jit(jnp.asarray(problem.q0, jnp.float32), idx_d),
+            qN=_gather_rows_jit(jnp.asarray(problem.qN, jnp.float32), idx_d),
+            goal_tolerance_below=problem.goal_tolerance_below,
+            goal_tolerance_above=problem.goal_tolerance_above)
+        # fresh, deterministic noise streams for the retry round
+        sub_keys = _retry_keys_jit(keys, idx_d, rnd + 1)
+        re = plan_batch(robot, world, sub,
+                        cfg.replace(num_restarts=retry_restarts),
+                        keys=sub_keys, constraints=constraints)
+        sol = _scatter_solution_jit(sol, re, idx_d)
+    return sol
+
+
+@jax.jit
+def _gather_rows_jit(x, idx):
+    return x[idx]
+
+
+@jax.jit
+def _retry_keys_jit(keys, idx, rnd):
+    return jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys[idx], rnd)
+
+
+@jax.jit
+def _scatter_solution_jit(sol, part, idx):
+    return jax.tree.map(lambda f, p: f.at[idx].set(p), sol, part)
+
+
 def _use_compaction(cfg: PlannerConfig) -> bool:
     if cfg.mode != "stomp" or cfg.batch_compaction == "off":
         return False

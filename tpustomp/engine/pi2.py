@@ -78,9 +78,12 @@ def update_tm_cand(cand_tm: jnp.ndarray, theta_tm: jnp.ndarray,
     config-4 B=256).
 
     cand_tm [N, d, B, K] (noisy candidate slots only), theta_tm [N, d, B],
-    S [B, K, N] -> δθ [B, N, d].
+    S [B, K, N] -> δθ [B, N, d]. h: scalar, or [B] for per-scenario cost
+    sensitivity (solver.HyperParams — hyperparameter grids as an array
+    axis).
     """
-    P = jax.vmap(lambda s: probabilities(s, h))(S)        # [B, K, N]
+    h_arr = jnp.broadcast_to(jnp.asarray(h, jnp.float32), (S.shape[0],))
+    P = jax.vmap(probabilities)(S, h_arr)                 # [B, K, N]
     wavg = jnp.einsum("bkn,ndbk->ndb", P, cand_tm)
     psum = jnp.transpose(jnp.sum(P, axis=1))              # [N, B]
     delta = wavg - theta_tm * psum[:, None, :]

@@ -46,6 +46,37 @@ from tpustomp.robot.model import RobotSpec
 
 
 @struct.dataclass
+class HyperParams:
+    """Traced (per-scenario) solver hyperparameters.
+
+    The reference reads its exploration knobs once from the ROS param server
+    per plan; here they can additionally be ARRAYS riding the scenario axis:
+    every leaf is a scalar (single solve) or [B] (batched solve), traced —
+    so a hyperparameter grid search is one compile and ONE batched solve
+    with (grid × problems) scenarios, instead of one recompilation per cell
+    (bench/stomp_sweep.py). `None` anywhere a `hyper` argument is accepted
+    means "use the static values from PlannerConfig", which compiles the
+    exact pre-existing program.
+
+    noise_scale: multiplier on cfg's per-joint noise stddevs (A.3).
+    h:           PI² cost sensitivity (A.9; cfg.pi2_h).
+    decay:       per-iteration noise decay (A.3; cfg.noise.decay).
+    """
+
+    noise_scale: jnp.ndarray
+    h: jnp.ndarray
+    decay: jnp.ndarray
+
+    @staticmethod
+    def from_config(cfg, batch: int | None = None) -> "HyperParams":
+        """The static config values as a HyperParams (solve parity helper)."""
+        mk = (lambda v: jnp.full((batch,), v, jnp.float32)
+              if batch is not None else jnp.float32(v))
+        return HyperParams(noise_scale=mk(1.0), h=mk(cfg.pi2_h),
+                           decay=mk(cfg.noise.decay))
+
+
+@struct.dataclass
 class SolverState:
     theta: jnp.ndarray        # [N, d] current free waypoints
     key: jax.Array
@@ -151,13 +182,18 @@ def _make_stomp_phases(robot: RobotSpec, cfg: PlannerConfig, ops: DeviceOps,
     `make_step` composes them back into the single-scenario step; numerics
     are shared by construction."""
 
-    def propose(state: SolverState):
+    def propose(state: SolverState, hyper: HyperParams | None = None):
         """Sample noise, assemble the candidate set, apply per-rollout joint
         limits. Returns (advanced key, cand [1+K+reuse, N, d]); slot 0 is
-        the current trajectory (see stomp_step's latency note)."""
+        the current trajectory (see stomp_step's latency note).
+        hyper: optional traced overrides (noise_scale/decay used here)."""
         it = state.iteration
-        decay = jnp.power(jnp.float32(cfg.noise.decay), it.astype(jnp.float32))
+        decay_base = (jnp.float32(cfg.noise.decay) if hyper is None
+                      else hyper.decay)
+        decay = jnp.power(decay_base, it.astype(jnp.float32))
         sigma = sigma0 * decay
+        if hyper is not None:
+            sigma = sigma * hyper.noise_scale
         key, k_noise = jax.random.split(state.key)
 
         eps_new = sample_noise(k_noise, ops.L_sample, sigma, cfg.num_rollouts)
@@ -175,9 +211,11 @@ def _make_stomp_phases(robot: RobotSpec, cfg: PlannerConfig, ops: DeviceOps,
         return key, cand
 
     def apply_update(state: SolverState, key, cand, S_all, ctrl_all, margins,
-                     cand_total, parts) -> SolverState:
+                     cand_total, parts,
+                     hyper: HyperParams | None = None) -> SolverState:
         """Everything after evaluation: A.12 bookkeeping on slot 0, the
-        PI² update from slots 1:, and rollout reuse."""
+        PI² update from slots 1:, and rollout reuse. hyper: optional traced
+        overrides (h used here)."""
         it = state.iteration
         eps = cand - state.theta[None]                 # re-centered noise (A.3)
 
@@ -196,7 +234,8 @@ def _make_stomp_phases(robot: RobotSpec, cfg: PlannerConfig, ops: DeviceOps,
         if cfg.pi2_cost_mode == "cumulative":
             # cost-to-go: S(t) = sum_{t'>=t} q(t') (PI^2 proper; see config)
             S_used = jnp.cumsum(S_used[:, ::-1], axis=1)[:, ::-1]
-        delta = pi2.update(eps[1:], S_used[:, 1:-1], ops.M, cfg.pi2_h)
+        h = cfg.pi2_h if hyper is None else hyper.h
+        delta = pi2.update(eps[1:], S_used[:, 1:-1], ops.M, h)
         theta_new = project(state.theta + delta)
 
         # rollout reuse: keep the lowest-total-cost noisy candidates (A.3)
@@ -219,8 +258,9 @@ def _make_stomp_phases(robot: RobotSpec, cfg: PlannerConfig, ops: DeviceOps,
 
 
 def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
-              ops: DeviceOps, q0, qN):
-    """Build the per-iteration pure function (mode chosen at trace time)."""
+              ops: DeviceOps, q0, qN, hyper: HyperParams | None = None):
+    """Build the per-iteration pure function (mode chosen at trace time).
+    hyper: optional traced scalar overrides (STOMP mode; see HyperParams)."""
     sigma0 = jnp.asarray(cfg.noise_stddevs(robot.num_joints), jnp.float32)
     project = lambda th: project_limits(th, robot.joint_lower, robot.joint_upper,
                                         robot.joint_limited, ops.Rinv,
@@ -263,12 +303,12 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         # instead of a second serial evaluation of the post-update θ as in
         # the reference flow (bookkeeping for iterate i thus happens at the
         # start of iteration i, same values, half the serial latency).
-        key, cand = propose(state)
+        key, cand = propose(state, hyper)
         # [1+Ktot, N+2] rows; slot 0 is the current trajectory
         S_all, ctrl_all, margins, cand_total, parts = _evaluate_batch(
             robot, world, constraints, cfg, ops, q0, qN, cand)
         return apply_update(state, key, cand, S_all, ctrl_all, margins,
-                            cand_total, parts)
+                            cand_total, parts, hyper)
 
     def chomp_step(state: SolverState) -> SolverState:
         full = full_trajectory(state.theta, q0, qN)
@@ -398,13 +438,13 @@ def init_state(robot: RobotSpec, cfg: PlannerConfig, q0, qN,
 
 def run_until(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
               ops: DeviceOps, q0, qN, state: SolverState,
-              it_limit) -> SolverState:
+              it_limit, hyper: HyperParams | None = None) -> SolverState:
     """Advance the solver until done or `it_limit` iterations (traced bound).
 
     Used by the host replan wrapper to enforce the wall-clock
     planning_time_limit between device chunks (reference failsafe, SURVEY §6).
     """
-    step = make_step(robot, world, constraints, cfg, ops, q0, qN)
+    step = make_step(robot, world, constraints, cfg, ops, q0, qN, hyper)
     return jax.lax.while_loop(
         lambda s: (~s.done) & (s.iteration < it_limit), step, state)
 
@@ -438,14 +478,17 @@ def finalize(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
 
 def solve(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
           ops: DeviceOps, q0: jnp.ndarray, qN: jnp.ndarray,
-          key: jax.Array, theta0: jnp.ndarray | None = None) -> Solution:
-    """Run one full planning query to termination (A.12). Pure; jit/vmap-able."""
+          key: jax.Array, theta0: jnp.ndarray | None = None,
+          hyper: HyperParams | None = None) -> Solution:
+    """Run one full planning query to termination (A.12). Pure; jit/vmap-able.
+
+    hyper: optional traced scalar hyperparameter overrides (HyperParams)."""
     # continuous joints take the shortest angular path to the goal
     # (reference: stomp_utils.h angle normalization; engine/trajectory.py)
     qN = wrap_goal(q0, qN, robot.joint_limited)
     state = init_state(robot, cfg, q0, qN, key, theta0)
     state = run_until(robot, world, constraints, cfg, ops, q0, qN, state,
-                      jnp.int32(cfg.max_iterations))
+                      jnp.int32(cfg.max_iterations), hyper)
     return finalize(robot, world, constraints, cfg, ops, q0, qN, state)
 
 
@@ -496,7 +539,8 @@ def _tm_step_eligible(robot: RobotSpec, world, constraints,
 
 def make_step_batch_tm(robot: RobotSpec, world, constraints,
                        cfg: PlannerConfig, ops: DeviceOps, Q0, QN,
-                       world_batched: bool = False):
+                       world_batched: bool = False,
+                       hyper: HyperParams | None = None):
     """Time-major variant of `make_step_batch`: the candidate tensor is
     built, evaluated, and consumed in the fused kernel's lane-major layout
     [N, d, B, C] end to end.
@@ -567,9 +611,12 @@ def make_step_batch_tm(robot: RobotSpec, world, constraints,
     def iteration(stateB: SolverState) -> SolverState:
         # --- propose, time-major --------------------------------------
         it = stateB.iteration
-        decay = jnp.power(jnp.float32(cfg.noise.decay),
-                          it.astype(jnp.float32))             # [B]
+        decay_base = (jnp.float32(cfg.noise.decay) if hyper is None
+                      else hyper.decay)                       # scalar | [B]
+        decay = jnp.power(decay_base, it.astype(jnp.float32))  # [B]
         sigma = sigma0[None, :] * decay[:, None]              # [B, d]
+        if hyper is not None:
+            sigma = sigma * hyper.noise_scale[:, None]
         splits = jax.vmap(jax.random.split)(stateB.key)
         keys_new, k_noise = splits[:, 0], splits[:, 1]
 
@@ -617,16 +664,24 @@ def make_step_batch_tm(robot: RobotSpec, world, constraints,
         if cfg.pi2_cost_mode == "cumulative":
             S_used = jnp.cumsum(S_used[:, :, ::-1], axis=2)[:, :, ::-1]
         delta = pi2.update_tm_cand(cand_tm[..., 1:], theta_tm,
-                                   S_used[:, :, 1:-1],
-                                   ops.M, cfg.pi2_h)          # [B, N, d]
+                                   S_used[:, :, 1:-1], ops.M,
+                                   cfg.pi2_h if hyper is None
+                                   else hyper.h)              # [B, N, d]
         theta_new = jax.vmap(project)(stateB.theta + delta)
 
-        # rollout reuse: lowest-total-cost noisy candidates (A.3)
+        # rollout reuse: lowest-total-cost noisy candidates (A.3).
+        # Selection is a one-hot MXU contraction instead of
+        # take_along_axis + transpose: the lane gather plus the minor-axis-7
+        # permute measured 0.22 ms/iter at B=256 (11% of the step,
+        # bench/step_bisect.py), while the einsum emits the scenario-major
+        # layout directly. precision=HIGHEST makes it EXACT (each output is
+        # 1.0·v with zero accumulands, recovered losslessly by the 3-pass
+        # fp32 split), so gather-parity with vmap(solve) is preserved.
         _, keep = jax.lax.top_k(-totals[:, 1:],
                                 cfg.noise.num_rollouts_reused)
-        reuse_new = jnp.take_along_axis(
-            cand_tm, (keep + 1)[None, None, :, :], axis=3)
-        reuse_new = jnp.transpose(reuse_new, (2, 3, 0, 1))    # [B, Kr, N, d]
+        keep_oh = jax.nn.one_hot(keep + 1, C, dtype=cand_tm.dtype)
+        reuse_new = jnp.einsum("ndbc,brc->brnd", cand_tm, keep_oh,
+                               precision=jax.lax.Precision.HIGHEST)
 
         parts0 = (jnp.sum(q_obs[:, 0, :], axis=1), ctrl_sums[:, 0],
                   jnp.zeros((B,), jnp.float32))
@@ -643,7 +698,8 @@ def make_step_batch_tm(robot: RobotSpec, world, constraints,
 
 
 def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
-                    ops: DeviceOps, Q0, QN, world_batched: bool = False):
+                    ops: DeviceOps, Q0, QN, world_batched: bool = False,
+                    hyper: HyperParams | None = None):
     """One STOMP iteration over a leading scenario axis (Q0/QN: [B, d]).
 
     Per-scenario numerics are identical to `make_step`'s stomp_step — both
@@ -664,7 +720,8 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     if cfg.mode == "stomp" and _tm_step_eligible(robot, world, constraints,
                                                  cfg):
         return make_step_batch_tm(robot, world, constraints, cfg, ops,
-                                  Q0, QN, world_batched=world_batched)
+                                  Q0, QN, world_batched=world_batched,
+                                  hyper=hyper)
     sigma0 = jnp.asarray(cfg.noise_stddevs(robot.num_joints), jnp.float32)
     project = lambda th: project_limits(th, robot.joint_lower,
                                         robot.joint_upper,
@@ -673,8 +730,10 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                                         cfg.joint_limit_method)
     propose, apply_update = _make_stomp_phases(robot, cfg, ops, project,
                                                sigma0)
-    propose_v = jax.vmap(propose)
-    apply_v = jax.vmap(apply_update)
+    hy_ax = None if hyper is None else 0
+    propose_v = jax.vmap(propose, in_axes=(0, hy_ax))
+    apply_v = jax.vmap(apply_update,
+                       in_axes=(0, 0, 0, 0, 0, 0, 0, 0, hy_ax))
 
     from tpustomp.costs.smoothness import smoothness_cost_per_timestep_batch
 
@@ -709,9 +768,9 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                 tuple(rs(p) for p in parts))
 
     def step(stateB: SolverState) -> SolverState:
-        keys, cands = propose_v(stateB)
+        keys, cands = propose_v(stateB, hyper)
         outs = evaluate_all(cands, active=~stateB.done)
-        new = apply_v(stateB, keys, cands, *outs)
+        new = apply_v(stateB, keys, cands, *outs, hyper)
         # freeze finished scenarios — the same per-element select that
         # jax.vmap(lax.while_loop) applies, so results match vmap(solve)
         B = stateB.done.shape[0]
@@ -725,7 +784,8 @@ def make_step_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
 def solve_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                 ops: DeviceOps, Q0: jnp.ndarray, QN: jnp.ndarray,
                 keys: jax.Array, theta0: jnp.ndarray | None = None,
-                world_batched: bool = False) -> Solution:
+                world_batched: bool = False,
+                hyper: HyperParams | None = None) -> Solution:
     """Batched planning (BASELINE config 4): B scenarios to termination.
 
     Per-scenario results match `jax.vmap(solve)` (tested); execution flattens
@@ -740,7 +800,7 @@ def solve_batch(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
     assert cfg.mode == "stomp", "solve_batch is the STOMP batched path"
     QN, init = _init_batch(robot, cfg, Q0, QN, keys, theta0)
     step = make_step_batch(robot, world, constraints, cfg, ops, Q0, QN,
-                           world_batched=world_batched)
+                           world_batched=world_batched, hyper=hyper)
     stateB = jax.lax.while_loop(lambda s: jnp.any(~s.done), step, init)
     return _finalize_batch(robot, world, constraints, cfg, ops, Q0, QN,
                            stateB, world_batched)
