@@ -148,17 +148,22 @@ def run_suite(n=125, seed=0, scenes=("tabletop", "shelf"),
             from tpustomp.api.config import CostWeights
 
             if mode.startswith("stomp"):
-                # stddev 0.12 swept on the shelf scene: 0.976 success vs
-                # 0.904 at the config-2 default 0.08 (hard problems need
-                # wider exploration; the reference decays per-joint stddev
-                # the same way). "stomp-r4" adds 4 parallel restarts per
-                # problem (num_restarts — the TPU answer to the reference's
-                # "call the service again with a new seed").
+                # (stddev=0.25, h=20, decay=1.0): the round-4 traced-grid
+                # sweep optimum (bench/stomp_sweep.py — 72 cells x 125
+                # problems per scene as ONE batched solve each): plain
+                # STOMP 0.992 tabletop / 1.000 shelf, vs 0.944/0.960 at
+                # the r3 config (stddev 0.12, h=10, decay 0.995). Hard
+                # problems need wide, UNdecayed exploration; h=20 sharpens
+                # the softmax once rollouts differ and roughly halves
+                # iterations-to-success (15 vs 22). "stomp-r4" adds 4
+                # parallel restarts per problem (num_restarts — the TPU
+                # answer to the reference's "call the service again with a
+                # new seed").
                 from tpustomp.api.config import NoiseConfig
                 cfg = config2_cfg(
-                    max_iterations=150,
+                    max_iterations=150, pi2_h=20.0,
                     num_restarts=4 if mode == "stomp-r4" else 1,
-                    noise=NoiseConfig(stddev=0.12, decay=0.995,
+                    noise=NoiseConfig(stddev=0.25, decay=1.0,
                                       num_rollouts_reused=5))
             else:
                 # swept at 7-DOF (docs/EXPERIMENTS.md): w_obs=20/lr=0.6 ->
