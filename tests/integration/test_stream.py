@@ -87,6 +87,25 @@ def test_stream_depth_does_not_change_results():
         np.testing.assert_array_equal(sa, sb)
 
 
+def test_stream_over_mesh_matches_plan_batch():
+    import jax.numpy as jnp  # noqa: F401
+
+    from tpustomp.engine.distributed import make_mesh
+
+    robot, world = _scene()
+    cfg = _cfg()
+    items = _problems(B=8, nbatches=3, seed=11)
+    mesh = make_mesh()
+    got = list(plan_batch_stream(robot, world, iter(items), cfg, depth=2,
+                                 gather="serving", mesh=mesh))
+    assert len(got) == 3
+    for (prob, keys), (traj, succ) in zip(items, got):
+        ref = plan_batch(robot, world, prob, cfg, keys=keys)
+        np.testing.assert_array_equal(succ, np.asarray(ref.success))
+        np.testing.assert_allclose(traj, np.asarray(ref.trajectory),
+                                   atol=2e-6)
+
+
 def test_retry_recovers_failed_rows_and_keeps_successful_ones():
     robot, world = _scene()
     # tight budget + low noise: some seeds fail the first pass

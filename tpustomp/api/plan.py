@@ -314,7 +314,7 @@ def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,
 def plan_batch_stream(robot: RobotSpec, world, problems,
                       cfg: PlannerConfig = PlannerConfig(),
                       constraints=None, depth: int = 2,
-                      gather: str = "serving"):
+                      gather: str = "serving", mesh=None):
     """Pipelined batched serving: a generator over batches of queries.
 
     `problems`: iterable of ProblemSpec (q0/qN: [B, d]) or (ProblemSpec,
@@ -341,6 +341,12 @@ def plan_batch_stream(robot: RobotSpec, world, problems,
     point). depth=2 is enough to cover host work with device compute;
     deeper queues only add memory.
 
+    mesh: optional jax.sharding.Mesh — batches dispatch through
+    engine.distributed.plan_sharded over the mesh's "scenario" axis
+    instead of plan_batch (multi-chip serving; in multi-host mode each
+    process feeds its local shards and the stream overlaps exactly as in
+    the single-chip case, since dispatch stays async).
+
     Requires cfg.batch_compaction resolved to off (the default on this
     relay): host-side compaction syncs per chunk, which would serialize
     the stream.
@@ -357,11 +363,19 @@ def plan_batch_stream(robot: RobotSpec, world, problems,
             return jax.tree.map(np.asarray, sol)
         return sol
 
+    def _dispatch(prob, keys):
+        if mesh is not None:
+            from tpustomp.engine import distributed
+            return distributed.plan_sharded(robot, world, prob, cfg,
+                                            keys=keys,
+                                            constraints=constraints,
+                                            mesh=mesh)
+        return plan_batch(robot, world, prob, cfg, keys=keys,
+                          constraints=constraints)
+
     for item in problems:
         prob, keys = item if isinstance(item, tuple) else (item, None)
-        sol = plan_batch(robot, world, prob, cfg, keys=keys,
-                         constraints=constraints)
-        inflight.append(sol)
+        inflight.append(_dispatch(prob, keys))
         while len(inflight) > depth:
             yield _out(inflight.popleft())
     while inflight:
