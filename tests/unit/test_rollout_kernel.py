@@ -37,8 +37,15 @@ def test_kernel_matches_xla_path(robot_name):
 
 
 def test_unrolled_matches_rolled_fallback():
-    """The scratch-free unrolled kernel (static body partition) and the
-    rolled/staged fallback must agree exactly."""
+    """The scratch-free unrolled kernel (static body partition, axis-
+    specialized via RobotSpec.joint_static) and the rolled/staged fallback
+    agree to ULP level UNDER INTERPRET MODE: specialization shortens the
+    FK sum trees, which changes XLA CPU's FMA-contraction choices —
+    ~1 ULP per composed joint (≤4e-6 abs on this 7-joint chain; exact for
+    single-axis chains). On real TPU the specialized kernel is bitwise-
+    identical to the general one (Mosaic does not contract FMAs; measured
+    diff 0.0 — docs/PERFORMANCE.md round 4). With specialization disabled
+    the two kernels are bitwise-identical here too, asserted below."""
     import dataclasses
 
     robot = model.arm_7dof()
@@ -53,8 +60,16 @@ def test_unrolled_matches_rolled_fallback():
                                              interpret=True)
     q_r, m_r = rp.obstacle_cost_batch_pallas(rolled_robot, world, cand,
                                              0.05, 0.08, interpret=True)
-    np.testing.assert_array_equal(np.asarray(q_u), np.asarray(q_r))
-    np.testing.assert_array_equal(np.asarray(m_u), np.asarray(m_r))
+    np.testing.assert_allclose(np.asarray(q_u), np.asarray(q_r),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_u), np.asarray(m_r),
+                               atol=2e-6)
+    # unspecialized unrolled == rolled, bitwise (the pre-round-4 contract)
+    general = dataclasses.replace(robot, joint_static=None)
+    q_g, m_g = rp.obstacle_cost_batch_pallas(general, world, cand,
+                                             0.05, 0.08, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q_g), np.asarray(q_r))
+    np.testing.assert_array_equal(np.asarray(m_g), np.asarray(m_r))
 
 
 def test_supports_flags():

@@ -351,7 +351,8 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                           skip_rotf: bool = False,
                           time_major: bool = False,
                           per_cand_world: bool = False,
-                          with_activity: bool = False):
+                          with_activity: bool = False,
+                          static_joints: tuple | None = None):
     """Scratch-free fused evaluator: UNROLLED joint loop, each link's bodies
     evaluated inline while the frame is live in registers.
 
@@ -366,6 +367,27 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
 
     mode: "analytic" -> (q_obs [C,T], margin_row [C,T]) against SMEM
     sphere/box primitives; "kin" -> kin [B, 4, C, T] for the grid hybrid.
+
+    static_joints: optional tuple of per-joint (type, ax, ay, az) as plain
+    Python numbers (RobotSpec.joint_static). When given, the unrolled loop
+    specializes each joint at TRACE time: axis components that are exactly
+    0/±1 fold out of the Rodrigues composition and axis projection, and
+    prismatic/revolute branches resolve statically (prismatic joints skip
+    sin/cos entirely; revolute joints skip the translation term and the
+    G/identity blend). Numerics: the folding removes only exact
+    multiplications by literal 0/1. On REAL TPU (Mosaic) the specialized
+    kernel is BITWISE-identical to the runtime-axis one (measured max
+    diff 0.0 on the 7-joint arm — Mosaic lowers each op separately, no
+    FMA-contraction reassociation). Under interpret mode (XLA CPU ops,
+    which DO contract FMAs over the shortened sum trees) outputs drift
+    ~1 ULP per composed joint (≤4e-6 abs at 7 joints; exact for
+    single-axis chains) — well inside every kernel-vs-reference
+    tolerance, and the solver's exact-parity tests compare paths sharing
+    the SAME kernel, so those stay bitwise everywhere. Measured on v5e at
+    the config-4 shape: kernel stage 1.27 → 1.09 ms/iter, full step
+    2.10 → 1.85 ms (sustained 6.8M → 7.7M candidate evals/s) — the
+    kernel is the dominant stage (docs/PERFORMANCE.md round-4 bisection),
+    so this is the main lever on the sustained rollout rate.
 
     time_major (analytic only): blocks are [T, tile] (sublane = waypoint,
     lane = candidate) instead of [tile, T]. This is the PRODUCTION DEFAULT
@@ -462,6 +484,25 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
         q_obs = mzero
         margin = mzero + 1e6
 
+        def _cmul(k, expr):
+            """k·expr with exact 0/±1 folding; None encodes exact zero."""
+            if k == 0.0:
+                return None
+            if k == 1.0:
+                return expr
+            if k == -1.0:
+                return -expr
+            return k * expr
+
+        def _csum(terms):
+            terms = [t for t in terms if t is not None]
+            if not terms:
+                return None
+            out = terms[0]
+            for t in terms[1:]:
+                out = out + t
+            return out
+
         for j in range(d):                    # UNROLLED joint loop
             o0, o1, o2 = off_ref[j, 0], off_ref[j, 1], off_ref[j, 2]
             p0 = p0 + R[0] * o0 + R[1] * o1 + R[2] * o2
@@ -472,26 +513,63 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                 R = tuple(R[3 * i + 0] * F[0 + c] + R[3 * i + 1] * F[3 + c]
                           + R[3 * i + 2] * F[6 + c]
                           for i in range(3) for c in range(3))
-            x, y, z = axis_ref[j, 0], axis_ref[j, 1], axis_ref[j, 2]
             qj = cand_ref[j, :, :]
-            rev = jnp.where(type_ref[j] == 0, 1.0, 0.0)
-            aw0 = R[0] * x + R[1] * y + R[2] * z
-            aw1 = R[3] * x + R[4] * y + R[5] * z
-            aw2 = R[6] * x + R[7] * y + R[8] * z
-            tq = (1.0 - rev) * qj
-            p0 = p0 + aw0 * tq
-            p1 = p1 + aw1 * tq
-            p2 = p2 + aw2 * tq
-            s, c = jnp.sin(qj), jnp.cos(qj)
-            oc = 1.0 - c
-            G = (c + x * x * oc, x * y * oc - z * s, x * z * oc + y * s,
-                 y * x * oc + z * s, c + y * y * oc, y * z * oc - x * s,
-                 z * x * oc - y * s, z * y * oc + x * s, c + z * z * oc)
-            eye = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
-            G = tuple(rev * g + (1.0 - rev) * e for g, e in zip(G, eye))
-            R = tuple(R[3 * i + 0] * G[0 + cc] + R[3 * i + 1] * G[3 + cc]
-                      + R[3 * i + 2] * G[6 + cc]
-                      for i in range(3) for cc in range(3))
+            if static_joints is not None:
+                # trace-time specialization: type and axis are Python
+                # constants; 0/±1 components fold out (exact — see
+                # builder docstring)
+                jt, ax, ay, az = static_joints[j]
+                if jt != 0:                       # prismatic: translate only
+                    aw = [_csum([_cmul(ax, R[3 * i + 0]),
+                                 _cmul(ay, R[3 * i + 1]),
+                                 _cmul(az, R[3 * i + 2])])
+                          for i in range(3)]
+                    if aw[0] is not None:
+                        p0 = p0 + aw[0] * qj
+                    if aw[1] is not None:
+                        p1 = p1 + aw[1] * qj
+                    if aw[2] is not None:
+                        p2 = p2 + aw[2] * qj
+                    # rotation unchanged (G = I); fall through to bodies
+                else:
+                    s, c = jnp.sin(qj), jnp.cos(qj)
+                    oc = 1.0 - c
+
+                    def _g(diag, k_oc, k_s):
+                        return _csum([c if diag else None, _cmul(k_oc, oc),
+                                      _cmul(k_s, s)])
+
+                    G = (_g(True, ax * ax, 0.0), _g(False, ax * ay, -az),
+                         _g(False, ax * az, ay),
+                         _g(False, ay * ax, az), _g(True, ay * ay, 0.0),
+                         _g(False, ay * az, -ax),
+                         _g(False, az * ax, -ay), _g(False, az * ay, ax),
+                         _g(True, az * az, 0.0))
+                    R = tuple(
+                        _csum([None if G[3 * k + cc] is None
+                               else R[3 * i + k] * G[3 * k + cc]
+                               for k in range(3)])
+                        for i in range(3) for cc in range(3))
+            else:
+                x, y, z = axis_ref[j, 0], axis_ref[j, 1], axis_ref[j, 2]
+                rev = jnp.where(type_ref[j] == 0, 1.0, 0.0)
+                aw0 = R[0] * x + R[1] * y + R[2] * z
+                aw1 = R[3] * x + R[4] * y + R[5] * z
+                aw2 = R[6] * x + R[7] * y + R[8] * z
+                tq = (1.0 - rev) * qj
+                p0 = p0 + aw0 * tq
+                p1 = p1 + aw1 * tq
+                p2 = p2 + aw2 * tq
+                s, c = jnp.sin(qj), jnp.cos(qj)
+                oc = 1.0 - c
+                G = (c + x * x * oc, x * y * oc - z * s, x * z * oc + y * s,
+                     y * x * oc + z * s, c + y * y * oc, y * z * oc - x * s,
+                     z * x * oc - y * s, z * y * oc + x * s, c + z * z * oc)
+                eye = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+                G = tuple(rev * g + (1.0 - rev) * e for g, e in zip(G, eye))
+                R = tuple(R[3 * i + 0] * G[0 + cc] + R[3 * i + 1] * G[3 + cc]
+                          + R[3 * i + 2] * G[6 + cc]
+                          for i in range(3) for cc in range(3))
 
             for b in range(offsets[j], offsets[j + 1]):   # this link's bodies
                 bo0, bo1, bo2 = (boff_ref[b, 0], boff_ref[b, 1],
@@ -764,7 +842,9 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
             fn = build_unrolled_kernel(shapes, dt, clearance,
                                        robot.body_counts, mode="kin",
                                        interpret=interpret, tile_c=tile,
-                                       skip_rotf=robot.rot_fixed_identity)
+                                       skip_rotf=robot.rot_fixed_identity,
+                                       static_joints=getattr(
+                                           robot, "joint_static", None))
             kin = fn(padded, robot)
         else:
             shapes = (d, robot.body_link.shape[0], T)
@@ -801,7 +881,9 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
                                    tile_c=tm_tile, time_major=True,
                                    per_cand_world=True,
                                    skip_rotf=robot.rot_fixed_identity,
-                                   with_activity=flags is not None)
+                                   with_activity=flags is not None,
+                                   static_joints=getattr(
+                                       robot, "joint_static", None))
         q_obs, margin_row = fn(padded_tm, robot, world, tile_active=flags)
         return q_obs[:C], jnp.min(margin_row[:C], axis=1)
 
@@ -835,14 +917,18 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
                                    mode="analytic", interpret=interpret,
                                    tile_c=tm_tile, time_major=True,
                                    skip_rotf=robot.rot_fixed_identity,
-                                   with_activity=flags is not None)
+                                   with_activity=flags is not None,
+                                   static_joints=getattr(
+                                       robot, "joint_static", None))
         q_obs, margin_row = fn(padded_tm, robot, world, tile_active=flags)
         return q_obs[:C], jnp.min(margin_row[:C], axis=1)
     if unrolled:
         fn = build_unrolled_kernel(shapes, dt, clearance, robot.body_counts,
                                    mode="analytic", interpret=interpret,
                                    tile_c=tile, time_major=False,
-                                   skip_rotf=robot.rot_fixed_identity)
+                                   skip_rotf=robot.rot_fixed_identity,
+                                   static_joints=getattr(
+                                       robot, "joint_static", None))
         q_obs, margin_row = fn(padded, robot, world)
         return q_obs[:C], jnp.min(margin_row[:C], axis=1)
     fn = build_rollout_kernel(shapes, dt, clearance, interpret=interpret,

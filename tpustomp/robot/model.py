@@ -71,6 +71,16 @@ class RobotSpec:
     # registers — no frames scratch round-trip (measured 17% kernel win).
     # None = unknown ordering (kernel falls back to the rolled/staged form).
     body_counts: tuple | None = struct.field(pytree_node=False, default=None)
+    # Static per-joint (type, ax, ay, az) mirror of joint_type/joint_axis,
+    # as plain Python numbers. Lets the fused kernel specialize the unrolled
+    # FK at trace time: axis components that are exactly 0/±1 fold out of
+    # the Rodrigues composition. Bitwise-identical to the general kernel on
+    # real TPU (Mosaic does not FMA-contract; measured diff 0.0); interpret
+    # mode drifts ~1 ULP/joint (XLA CPU FMA reassociation — see
+    # build_unrolled_kernel docstring). Measured 14% off the kernel stage
+    # on v5e. All built-in robots and typical URDF arms are axis-aligned.
+    # None -> the kernel reads type/axis from SMEM at runtime.
+    joint_static: tuple | None = struct.field(pytree_node=False, default=None)
 
     @property
     def num_joints(self) -> int:
@@ -123,6 +133,13 @@ def _spec(joint_axis, joint_offset, joint_rot, lower, upper, limited,
             np.allclose(np.asarray(joint_rot, np.float64),
                         np.broadcast_to(np.eye(3), (d, 3, 3)), atol=0.0)),
         body_counts=counts,
+        joint_static=tuple(
+            (int(t), float(np.float32(a[0])), float(np.float32(a[1])),
+             float(np.float32(a[2])))
+            for t, a in zip(
+                np.asarray(joint_type if joint_type is not None
+                           else [REVOLUTE] * d, np.int32),
+                np.asarray(joint_axis, np.float32))),
     )
 
 
