@@ -786,6 +786,34 @@ def _grid_finish(world, kin, dt: float, clearance: float, body_radius):
     return q_obs, margin_row
 
 
+def _check_joint_static(robot):
+    """Drop a stale joint_static (and warn) if it contradicts the runtime
+    joint arrays. Guards `dataclasses.replace(robot, joint_type=...)` /
+    `joint_axis=...` without a matching joint_static update — the
+    specialized kernel would silently compute the OLD kinematics. Only
+    checkable in eager mode (under jit the leaves are tracers; RobotSpec
+    constructors keep the two consistent, so jit-traced robots built via
+    model._spec are safe by construction)."""
+    import numpy as np
+
+    sj = getattr(robot, "joint_static", None)
+    if sj is None or isinstance(robot.joint_axis, jax.core.Tracer):
+        return robot
+    types = [int(t) for t, _, _, _ in sj]
+    axes = [[a, b, c] for _, a, b, c in sj]
+    if (np.array_equal(np.asarray(robot.joint_type), types)
+            and np.array_equal(np.asarray(robot.joint_axis),
+                               np.asarray(axes, np.float32))):
+        return robot
+    import warnings
+
+    warnings.warn(
+        "RobotSpec.joint_static disagrees with joint_type/joint_axis "
+        "(stale dataclasses.replace?); disabling kernel FK specialization "
+        "for this call", stacklevel=3)
+    return robot.replace(joint_static=None)
+
+
 def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
                                dt: float, clearance: float,
                                interpret: bool = False, tile_c=None,
@@ -829,6 +857,7 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
     # static body partition available (RobotSpec link-sorts at construction)
     # -> scratch-free unrolled kernel; else the rolled/staged fallback
     unrolled = getattr(robot, "body_counts", None) is not None
+    robot = _check_joint_static(robot)
 
     if isinstance(world, (GridSDF, CompositeWorld)):
         if (isinstance(world, CompositeWorld)
