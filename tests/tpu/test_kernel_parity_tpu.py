@@ -49,3 +49,36 @@ def test_compiled_kernel_matches_xla(parity_report, variant):
 
 def test_parity_gate_overall(parity_report):
     assert parity_report["pass"] is True
+
+
+def test_static_joint_specialization_bitwise_on_tpu():
+    """The joint_static-specialized unrolled kernel must stay BITWISE-
+    identical to the runtime-axis kernel on real hardware (Mosaic lowers
+    ops individually — no FMA-contraction reassociation; round-4
+    measurement). Interpret mode drifts ~1 ULP/joint and is covered with
+    tolerances in tests/unit/test_rollout_kernel.py; this gate pins the
+    on-chip contract the specialization's exactness claim rests on."""
+    if not _ON_TPU:
+        pytest.skip("needs a real TPU")
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpustomp.kernels import rollout_pallas as rp
+    from tpustomp.robot import model
+    from tpustomp.world.sdf import AnalyticWorld
+
+    robot = model.arm_7dof()
+    general = dataclasses.replace(robot, joint_static=None)
+    world = AnalyticWorld.make(
+        boxes=[((0.6, 0.0, 0.2), (0.45, 0.6, 0.25))],
+        spheres=[((0.3, 0.3, 0.9), 0.1)])
+    rng = np.random.default_rng(7)
+    cand = jnp.asarray(rng.uniform(-1.2, 1.2, (256, 22, 7)), jnp.float32)
+    fn = jax.jit(lambda c, r: rp.obstacle_cost_batch_pallas(
+        r, world, c, 0.05, 0.08))
+    q_s, m_s = fn(cand, robot)
+    q_g, m_g = fn(cand, general)
+    np.testing.assert_array_equal(np.asarray(q_s), np.asarray(q_g))
+    np.testing.assert_array_equal(np.asarray(m_s), np.asarray(m_g))
