@@ -21,7 +21,9 @@ from tpustomp.api.config import (
     SmoothnessConfig,
 )
 from tpustomp.api.problem import ProblemSpec, Solution
-from tpustomp.api.plan import plan, plan_batch
+from tpustomp.api.plan import (plan, plan_batch, plan_batch_retry,
+                               plan_batch_stream, plan_timed)
+from tpustomp.api.tune import tune
 
 __version__ = "0.1.0"
 
@@ -34,4 +36,8 @@ __all__ = [
     "Solution",
     "plan",
     "plan_batch",
+    "plan_batch_retry",
+    "plan_batch_stream",
+    "plan_timed",
+    "tune",
 ]
