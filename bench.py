@@ -217,6 +217,12 @@ def main():
                 n=25, modes=("stomp", "chomp"))
         except Exception as e:  # pragma: no cover
             log(f"experiment suite skipped: {e}")
+        if on_tpu:
+            try:
+                from bench.step_bisect import run as bisect_run
+                details["step_bisect_B256"] = bisect_run(B=256, reps=3)
+            except Exception as e:  # pragma: no cover
+                log(f"step bisect skipped: {e}")
 
     # MERGE into BENCH_DETAILS.json — never overwrite other sections
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
