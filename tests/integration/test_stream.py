@@ -106,6 +106,32 @@ def test_stream_over_mesh_matches_plan_batch():
                                    atol=2e-6)
 
 
+def test_retry_with_per_row_goal_tolerance():
+    """Per-row [B, d] tolerance bands must follow their problems into the
+    padded retry batch (regression: the first cut passed the full-B array
+    through, breaking the sub-problem shapes)."""
+    robot, world = _scene()
+    cfg = _cfg(max_iterations=4, max_iterations_after_collision_free=2,
+               noise=NoiseConfig(stddev=0.12, decay=0.995,
+                                 num_rollouts_reused=2))
+    B = 24
+    rng = np.random.default_rng(5)
+    q0 = (np.tile([-0.56, 1.65], (B, 1))
+          + rng.uniform(-0.08, 0.08, (B, 2))).astype(np.float32)
+    qN = (np.tile([1.16, -1.46], (B, 1))
+          + rng.uniform(-0.08, 0.08, (B, 2))).astype(np.float32)
+    tol = np.full((B, 2), 0.02, np.float32)
+    prob = ProblemSpec(q0=q0, qN=qN, goal_tolerance_below=tol,
+                       goal_tolerance_above=tol)
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    base = plan_batch(robot, world, prob, cfg, keys=keys)
+    sol = plan_batch_retry(robot, world, prob, cfg, keys=keys,
+                           max_rounds=1, retry_restarts=4)
+    succ = np.asarray(sol.success)
+    assert succ.sum() >= np.asarray(base.success).sum()
+    assert sol.trajectory.shape == base.trajectory.shape
+
+
 def test_retry_recovers_failed_rows_and_keeps_successful_ones():
     robot, world = _scene()
     # tight budget + low noise: some seeds fail the first pass

@@ -345,7 +345,9 @@ def plan_batch_stream(robot: RobotSpec, world, problems,
     engine.distributed.plan_sharded over the mesh's "scenario" axis
     instead of plan_batch (multi-chip serving; in multi-host mode each
     process feeds its local shards and the stream overlaps exactly as in
-    the single-chip case, since dispatch stays async).
+    the single-chip case, since dispatch stays async). Multi-host callers
+    should use gather="none" and read their addressable shards — a host
+    numpy gather of a non-fully-addressable global array raises.
 
     Requires cfg.batch_compaction resolved to off (the default on this
     relay): host-side compaction syncs per chunk, which would serialize
@@ -421,11 +423,20 @@ def plan_batch_retry(robot: RobotSpec, world, problem: ProblemSpec,
         idx = np.concatenate([failed, np.repeat(failed[:1],
                                                 pad - failed.size)])
         idx_d = jnp.asarray(idx)
+
+        def _rows(x):
+            """Gather retry rows; per-row ([B, d]) tolerance arrays must
+            follow their problems, scalars/None broadcast unchanged."""
+            if x is None:
+                return None
+            x = jnp.asarray(x, jnp.float32)
+            return _gather_rows_jit(x, idx_d) if x.ndim == 2 else x
+
         sub = ProblemSpec(
             q0=_gather_rows_jit(jnp.asarray(problem.q0, jnp.float32), idx_d),
             qN=_gather_rows_jit(jnp.asarray(problem.qN, jnp.float32), idx_d),
-            goal_tolerance_below=problem.goal_tolerance_below,
-            goal_tolerance_above=problem.goal_tolerance_above)
+            goal_tolerance_below=_rows(problem.goal_tolerance_below),
+            goal_tolerance_above=_rows(problem.goal_tolerance_above))
         # fresh, deterministic noise streams for the retry round
         sub_keys = _retry_keys_jit(keys, idx_d, rnd + 1)
         re = plan_batch(robot, world, sub,

@@ -670,13 +670,15 @@ def make_step_batch_tm(robot: RobotSpec, world, constraints,
         theta_new = jax.vmap(project)(stateB.theta + delta)
 
         # rollout reuse: lowest-total-cost noisy candidates (A.3).
-        # Selection is a one-hot MXU contraction instead of
-        # take_along_axis + transpose: the lane gather plus the minor-axis-7
-        # permute measured 0.22 ms/iter at B=256 (11% of the step,
-        # bench/step_bisect.py), while the einsum emits the scenario-major
-        # layout directly. precision=HIGHEST makes it EXACT (each output is
-        # 1.0·v with zero accumulands, recovered losslessly by the 3-pass
-        # fp32 split), so gather-parity with vmap(solve) is preserved.
+        # Selection is a one-hot MXU contraction emitting the scenario-major
+        # layout directly, replacing take_along_axis + a minor-axis-7
+        # permute. Wall-clock NEUTRAL vs the gather (the ~0.25 ms stage cost
+        # is intrinsic re-reading of the 40 MB candidate tensor —
+        # bench/step_bisect.py / docs/PERFORMANCE.md round 4); kept for the
+        # removed pathological permute. precision=HIGHEST makes it EXACT
+        # (each output is 1.0·v with zero accumulands, recovered losslessly
+        # by the 3-pass fp32 split), so gather-parity with vmap(solve) is
+        # preserved.
         _, keep = jax.lax.top_k(-totals[:, 1:],
                                 cfg.noise.num_rollouts_reused)
         keep_oh = jax.nn.one_hot(keep + 1, C, dtype=cand_tm.dtype)
