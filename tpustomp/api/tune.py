@@ -24,6 +24,7 @@ Selection: highest success rate, ties broken by fewest mean iterations
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 
 import numpy as np
@@ -113,9 +114,6 @@ def tune(robot, world, problem: ProblemSpec,
         scored.append((float(sc.mean()), -float(it.mean()), -mcost, c))
     best = max(scored)[3]
     return TuneResult(best=best, table=table)
-
-
-import functools  # noqa: E402
 
 
 @functools.lru_cache(maxsize=8)
