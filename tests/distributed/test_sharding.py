@@ -82,3 +82,33 @@ def test_summarize_reductions():
     assert s["num_scenarios"] == batch
     assert 0.0 <= s["success_rate"] <= 1.0
     assert np.isfinite(s["mean_cost"])
+
+
+def test_sharded_hyper_matches_unsharded():
+    """Per-scenario hyperparameters shard with their scenarios: a sharded
+    hyper solve equals the single-device solve_batch(hyper=...) run — the
+    pod-scale form of api/tune.py's grid-as-a-batch."""
+    from tpustomp.dynamics.device import device_ops
+    from tpustomp.engine import solver
+
+    batch = 16
+    robot, world, q0, qN, cfg, keys = _setup(batch)
+    hyper = solver.HyperParams(
+        noise_scale=jnp.asarray(np.linspace(0.5, 2.0, batch), jnp.float32),
+        h=jnp.asarray(np.tile([5.0, 10.0, 20.0, 10.0], 4), jnp.float32),
+        decay=jnp.asarray(np.tile([0.99, 1.0], 8), jnp.float32))
+
+    sol_sharded = distributed.plan_sharded(
+        robot, world, ProblemSpec(q0=q0, qN=qN), cfg, keys=np.asarray(keys),
+        mesh=distributed.make_mesh(), hyper=hyper)
+    ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
+    sol_ref = solver.solve_batch(robot, world, None, cfg, ops,
+                                 jnp.asarray(q0), jnp.asarray(qN), keys,
+                                 hyper=hyper)
+    np.testing.assert_array_equal(np.asarray(sol_sharded.success),
+                                  np.asarray(sol_ref.success))
+    np.testing.assert_array_equal(np.asarray(sol_sharded.iterations),
+                                  np.asarray(sol_ref.iterations))
+    np.testing.assert_allclose(np.asarray(sol_sharded.trajectory),
+                               np.asarray(sol_ref.trajectory), atol=2e-6)
+    assert len(sol_sharded.trajectory.sharding.device_set) == 8

@@ -60,7 +60,8 @@ def init_multihost(coordinator_address=None, num_processes=None,
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_solve(cfg: PlannerConfig, mesh: Mesh, has_constraints: bool):
+def _sharded_solve(cfg: PlannerConfig, mesh: Mesh, has_constraints: bool,
+                   has_hyper: bool = False):
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
     replicated = NamedSharding(mesh, P())
 
@@ -68,12 +69,17 @@ def _sharded_solve(cfg: PlannerConfig, mesh: Mesh, has_constraints: bool):
         # fused batched path: per-shard, all local scenarios' candidates go
         # through one kernel launch per iteration (solver.solve_batch; the
         # scenario axis stays sharded through the [B,C]→[B·C] flatten since
-        # C is replicated — no resharding, no cross-shard traffic)
-        def run(robot, world, constraints, ops, q0, qN, keys):
+        # C is replicated — no resharding, no cross-shard traffic). hyper
+        # leaves ([B]) shard with their scenarios, so a pod-wide
+        # hyperparameter grid is just a bigger batch.
+        def run(robot, world, constraints, ops, q0, qN, keys, hyper):
             return solver.solve_batch(robot, world, constraints, cfg, ops,
-                                      q0, qN, keys)
+                                      q0, qN, keys, hyper=hyper)
     else:
-        def run(robot, world, constraints, ops, q0, qN, keys):
+        assert not has_hyper, \
+            "per-scenario hyper needs the STOMP batched path (num_restarts<=1)"
+
+        def run(robot, world, constraints, ops, q0, qN, keys, hyper):
             return jax.vmap(
                 lambda a, b, k: solver.solve_best_of(robot, world, constraints,
                                                      cfg, ops, a, b, k)
@@ -83,7 +89,8 @@ def _sharded_solve(cfg: PlannerConfig, mesh: Mesh, has_constraints: bool):
         run,
         in_shardings=(replicated, replicated,
                       replicated if has_constraints else None,
-                      replicated, sharding, sharding, sharding),
+                      replicated, sharding, sharding, sharding,
+                      sharding if has_hyper else None),
         out_shardings=sharding,
     )
 
@@ -99,14 +106,20 @@ def _shard_batch(x: np.ndarray, mesh: Mesh):
 
 def plan_sharded(robot, world, problem: ProblemSpec,
                  cfg: PlannerConfig = PlannerConfig(),
-                 keys=None, constraints=None, mesh: Mesh | None = None
-                 ) -> Solution:
+                 keys=None, constraints=None, mesh: Mesh | None = None,
+                 hyper=None) -> Solution:
     """Solve a batch of scenarios sharded over the mesh (BASELINE config 4/5).
 
     problem.q0/qN: [batch, d] — batch must divide evenly by the mesh size
     (pad with duplicates if needed; scenarios are independent so padding is
     harmless). In multi-host mode, pass each process's local shard; the
     global batch is their concatenation.
+
+    hyper: optional solver.HyperParams with [batch] leaves (process-local
+    shard in multi-host mode) — per-scenario traced hyperparameters shard
+    with their scenarios, so a POD-WIDE hyperparameter grid is one sharded
+    solve (api/tune.py is the single-process form). STOMP batched path
+    only.
     """
     if mesh is None:
         mesh = make_mesh()
@@ -121,10 +134,14 @@ def plan_sharded(robot, world, problem: ProblemSpec,
     cfg = resolve_backend(cfg, robot, world,
                           batch_hint=q0.shape[0] * jax.process_count())
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
-    fn = _sharded_solve(cfg, mesh, constraints is not None)
+    fn = _sharded_solve(cfg, mesh, constraints is not None,
+                        has_hyper=hyper is not None)
+    if hyper is not None:
+        hyper = jax.tree.map(
+            lambda x: _shard_batch(np.asarray(x, np.float32), mesh), hyper)
     return fn(robot, world, constraints, ops,
               _shard_batch(q0, mesh), _shard_batch(qN, mesh),
-              _shard_batch(np.asarray(keys), mesh))
+              _shard_batch(np.asarray(keys), mesh), hyper)
 
 
 @functools.lru_cache(maxsize=1)
