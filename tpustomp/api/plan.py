@@ -279,6 +279,12 @@ def _maybe_animate(robot, world, sol, cfg: PlannerConfig):
     try:
         viz.plot_ee_path_3d(robot, sol, world,
                             path=os.path.join("tpustomp_viz", "ee_path.png"))
+        if cfg.animate_path:
+            # the reference's animate_path stepped the robot through the
+            # waypoints in RViz; here it writes an animated GIF sweep
+            viz.animate_trajectory(
+                robot, sol, world,
+                path=os.path.join("tpustomp_viz", "trajectory.gif"))
         if sol.metrics is not None:
             viz.plot_metrics(sol, path=os.path.join("tpustomp_viz",
                                                     "metrics.png"))

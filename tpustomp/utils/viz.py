@@ -100,3 +100,57 @@ def plot_ee_path_3d(robot: RobotSpec, solution, world=None,
     fig.savefig(path, dpi=110)
     plt.close(fig)
     return path
+
+
+def animate_trajectory(robot: RobotSpec, solution, world=None,
+                       path="trajectory.gif", fps=15, max_frames=60):
+    """Animated sweep of the solved trajectory (GIF) — the closest analogue
+    of the reference's RViz `animate_path`: the robot's collision bodies
+    step through the waypoints while the end-effector traces its path.
+
+    Works for any chain (uses FK body positions, not link drawings):
+    3-D scatter of the body spheres per frame + accumulated EE trace +
+    world primitives. Frames are subsampled to `max_frames`. Returns the
+    written path. Requires pillow (matplotlib's PillowWriter)."""
+    plt = _mpl()
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    pos = np.asarray(body_positions_traj(robot, solution.trajectory))
+    T = pos.shape[0]
+    frames = list(range(0, T, max(1, T // max_frames))) + [T - 1]
+
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection="3d")
+    lo = pos.reshape(-1, 3).min(0) - 0.15
+    hi = pos.reshape(-1, 3).max(0) + 0.15
+    if world is not None and getattr(world, "box_half", None) is not None:
+        centers = np.asarray(world.box_center)
+        halves = np.asarray(world.box_half)
+        for c, h in zip(centers, halves):
+            for sx in (-1, 1):
+                for sy in (-1, 1):
+                    ax.plot([c[0] + sx * h[0]] * 2, [c[1] + sy * h[1]] * 2,
+                            [c[2] - h[2], c[2] + h[2]], "r-", alpha=0.5)
+    if world is not None and getattr(world, "sphere_radius", None) is not None:
+        centers = np.asarray(world.sphere_center).reshape(-1, 3)
+        for c in centers:
+            ax.plot([c[0]], [c[1]], [c[2]], "ro", ms=8, alpha=0.5)
+    ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1])
+    ax.set_zlim(lo[2], hi[2])
+    ax.set_title(f"success={bool(solution.success)} "
+                 f"iters={int(solution.iterations)}")
+    bodies, = ax.plot([], [], [], "o", color="tab:blue", ms=5, alpha=0.8)
+    trace, = ax.plot([], [], [], "-", color="tab:blue", lw=1.5, alpha=0.7)
+
+    def draw(i):
+        t = frames[i]
+        bodies.set_data(pos[t, :, 0], pos[t, :, 1])
+        bodies.set_3d_properties(pos[t, :, 2])
+        trace.set_data(pos[:t + 1, -1, 0], pos[:t + 1, -1, 1])
+        trace.set_3d_properties(pos[:t + 1, -1, 2])
+        return bodies, trace
+
+    anim = FuncAnimation(fig, draw, frames=len(frames), blit=False)
+    anim.save(path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
