@@ -115,6 +115,40 @@ def run(C=128, T=102, seed=0):
     }
     log(f"parity analytic_per_candidate_world: "
         f"{out['analytic_per_candidate_world']}")
+    # prismatic chain (RPR, non-identity fixed rotations): gates the
+    # specialized prismatic branch of the unrolled kernel (static_joints
+    # folds the joint type at trace time) on real hardware
+    from tpustomp.robot import model
+    from tpustomp.robot.fk import rodrigues
+
+    rots = np.stack([
+        np.asarray(rodrigues(jnp.asarray([0.0, 0.0, 1.0]), jnp.float32(a)))
+        for a in (0.3, -0.5, 0.2)])
+    rpr = model._spec(
+        joint_axis=[[0, 0, 1], [1, 0, 0], [0, 1, 0]],
+        joint_offset=[[0, 0, 0.3], [0.4, 0, 0], [0.3, 0, 0]],
+        joint_rot=rots,
+        lower=[-3.0, 0.0, -3.0], upper=[3.0, 0.6, 3.0],
+        limited=[True, True, True],
+        joint_type=[model.REVOLUTE, model.PRISMATIC, model.REVOLUTE],
+        body_link=[0, 1, 2, 2],
+        body_offset=[[0.2, 0, 0], [0.1, 0, 0], [0.15, 0, 0], [0.3, 0, 0]],
+        body_radius=[0.06, 0.05, 0.05, 0.04])
+    wp = AnalyticWorld.make(
+        spheres=[((0.5, 0.1, 0.4), 0.15)],
+        boxes=[((0.2, -0.3, 0.2), (0.2, 0.1, 0.2))])
+    fulls3 = jnp.asarray(
+        rng.uniform([-1.0, 0.05, -1.0], [1.0, 0.55, 1.0],
+                    (C, T, 3)).astype(np.float32))
+    p_ref_q, p_ref_m = _xla_reference(rpr, wp, fulls3, dt, clearance)
+    q, m = _pallas(rpr, wp, fulls3, dt, clearance)
+    out["analytic_prismatic_rpr"] = {
+        "max_abs_dq": float(np.abs(q - p_ref_q).max()),
+        "max_rel_dq": float(np.abs(q - p_ref_q).max()
+                            / max(float(np.abs(p_ref_q).max()), 1e-6)),
+        "max_abs_dmargin": float(np.abs(m - p_ref_m).max()),
+    }
+    log(f"parity analytic_prismatic_rpr: {out['analytic_prismatic_rpr']}")
     # fp32 reassociation tolerance: fail loudly if the compiled kernels have
     # actually diverged from the XLA semantics
     out["pass"] = all(v["max_rel_dq"] < 1e-3 and v["max_abs_dmargin"] < 1e-4
