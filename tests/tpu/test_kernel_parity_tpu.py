@@ -37,7 +37,8 @@ def parity_report():
 
 
 _VARIANTS = ("analytic_unrolled", "analytic_rolled", "grid_hybrid",
-             "composite_hybrid", "analytic_per_candidate_world")
+             "composite_hybrid", "analytic_per_candidate_world",
+             "analytic_prismatic_rpr")
 
 
 @pytest.mark.parametrize("variant", _VARIANTS)
