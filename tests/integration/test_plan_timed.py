@@ -38,6 +38,22 @@ def test_timed_matches_untimed_when_budget_ample():
                                np.asarray(b.trajectory), atol=1e-6)
 
 
+def test_timed_honors_num_restarts():
+    """plan_timed with num_restarts=R must run R independent noise streams
+    and select_best — identical to plan() when the wall budget is ample
+    (r4 ADVICE: plan_timed silently ignored num_restarts)."""
+    robot, world, cfg = _setup(planning_time_limit=60.0, num_restarts=3)
+    prob = ProblemSpec(q0=Q0, qN=QN)
+    a = plan(robot, world, prob, cfg, key=jax.random.PRNGKey(4))
+    b = plan_timed(robot, world, prob, cfg, key=jax.random.PRNGKey(4))
+    assert bool(a.success) == bool(b.success)
+    np.testing.assert_allclose(np.asarray(a.trajectory),
+                               np.asarray(b.trajectory), atol=1e-6)
+    # different jitted programs (whole-solve vmap vs chunked vmap) may fuse
+    # differently on CPU — ULP-level, not semantic
+    np.testing.assert_allclose(float(a.cost), float(b.cost), rtol=1e-5)
+
+
 def test_timed_returns_best_so_far_on_budget_exhaustion():
     """Zero wall budget ⇒ one chunk runs, then best-so-far is returned."""
     robot, world, cfg = _setup(planning_time_limit=0.0)

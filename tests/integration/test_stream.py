@@ -87,6 +87,37 @@ def test_stream_depth_does_not_change_results():
         np.testing.assert_array_equal(sa, sb)
 
 
+def test_stream_depth_semantics(monkeypatch):
+    """At most `depth` batches are resident in the pipeline at any moment —
+    the serving loop's memory contract (r4 dispatched before draining and so
+    kept depth+1 in flight). Spied at dispatch time: when batch i is
+    dispatched, at most depth-1 earlier dispatches may still be unconsumed."""
+    import tpustomp.api.plan as plan_mod
+
+    robot, world = _scene()
+    cfg = _cfg()
+    items = _problems(B=4, nbatches=6, seed=13)
+    depth = 2
+    consumed = [0]
+    resident_at_dispatch = []
+    real = plan_mod.plan_batch
+
+    def spy(*a, **k):
+        resident_at_dispatch.append(len(resident_at_dispatch) - consumed[0])
+        return real(*a, **k)
+
+    monkeypatch.setattr(plan_mod, "plan_batch", spy)
+    out = []
+    for r in plan_batch_stream(robot, world, iter(items), cfg, depth=depth,
+                               gather="serving"):
+        consumed[0] += 1
+        out.append(r)
+    assert len(out) == len(items)
+    assert len(resident_at_dispatch) == len(items)
+    # after each dispatch the pipeline holds (prior unconsumed + 1) batches
+    assert max(r + 1 for r in resident_at_dispatch) <= depth
+
+
 def test_stream_over_mesh_matches_plan_batch():
     import jax.numpy as jnp  # noqa: F401
 

@@ -59,6 +59,22 @@ def resolve_backend(cfg: PlannerConfig, robot, world,
     return cfg.replace(obstacle_backend="pallas" if use else "xla")
 
 
+def _sanitize_robot(robot):
+    """Eagerly validate RobotSpec.joint_static against joint_type/joint_axis.
+
+    The kernel-side guard (kernels/rollout_pallas._check_joint_static) can
+    only check concrete leaves, but every production entry invokes the
+    kernel under jit where the leaves are tracers — so a robot altered via
+    `dataclasses.replace(robot, joint_axis=...)` would keep a stale static
+    specialization and silently compute the OLD kinematics. Public entry
+    points (plan / plan_timed / plan_batch / plan_sharded / tune) call this
+    while the robot is still concrete; a mismatch drops joint_static with a
+    warning (correct, unspecialized kinematics)."""
+    from tpustomp.kernels.rollout_pallas import _check_joint_static
+
+    return _check_joint_static(robot)
+
+
 _GOAL_KEY_SEED = 0x60A1   # fixed seed: goal selection is deterministic
 _GOAL_SAMPLES = 64
 
@@ -197,6 +213,7 @@ def plan(robot: RobotSpec, world, problem: ProblemSpec,
     """Solve one planning query. Returns a Solution pytree (device arrays)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    robot = _sanitize_robot(robot)
     cfg = resolve_backend(cfg, robot, world,
                           batch_hint=max(1, cfg.num_restarts))
     q0 = jnp.asarray(problem.q0, jnp.float32)
@@ -211,19 +228,29 @@ def plan(robot: RobotSpec, world, problem: ProblemSpec,
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_chunk(cfg: PlannerConfig, has_constraints: bool):
+def _jitted_chunk(cfg: PlannerConfig, has_constraints: bool,
+                  restarts: int = 1):
     def run(robot, world, constraints, ops, q0, qN, state, it_limit):
-        return solver.run_until(robot, world, constraints, cfg, ops, q0, qN,
-                                state, it_limit)
+        def one(s):
+            return solver.run_until(robot, world, constraints, cfg, ops,
+                                    q0, qN, s, it_limit)
+
+        return jax.vmap(one)(state) if restarts > 1 else one(state)
 
     return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_finalize(cfg: PlannerConfig, has_constraints: bool):
+def _jitted_finalize(cfg: PlannerConfig, has_constraints: bool,
+                     restarts: int = 1):
     def run(robot, world, constraints, ops, q0, qN, state):
-        return solver.finalize(robot, world, constraints, cfg, ops, q0, qN,
-                               state)
+        def one(s):
+            return solver.finalize(robot, world, constraints, cfg, ops,
+                                   q0, qN, s)
+
+        if restarts > 1:
+            return solver.select_best(jax.vmap(one)(state))
+        return one(state)
 
     return jax.jit(run)
 
@@ -235,11 +262,16 @@ def plan_timed(robot: RobotSpec, world, problem: ProblemSpec,
     """plan() with the reference's wall-clock failsafe: iterate in device
     chunks of `chunk_iterations`, stop when `cfg.planning_time_limit` seconds
     elapse, and return best-so-far (success=False if never collision-free) —
-    the behavior of the reference's planning_time_limit (SURVEY §6)."""
+    the behavior of the reference's planning_time_limit (SURVEY §6).
+
+    cfg.num_restarts is honored exactly as in plan(): R independent noise
+    streams run vmapped inside each chunk (all sharing the wall-clock
+    budget) and select_best picks the winner at finalize."""
     import time
 
     if key is None:
         key = jax.random.PRNGKey(0)
+    robot = _sanitize_robot(robot)
     cfg = resolve_backend(cfg, robot, world,
                           batch_hint=max(1, cfg.num_restarts))
     q0 = jnp.asarray(problem.q0, jnp.float32)
@@ -251,16 +283,23 @@ def plan_timed(robot: RobotSpec, world, problem: ProblemSpec,
     from tpustomp.engine.trajectory import wrap_goal
     qN = wrap_goal(q0, qN, robot.joint_limited)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
-    run_chunk = _jitted_chunk(cfg, constraints is not None)
-    state = solver.init_state(robot, cfg, q0, qN, key)
+    R = max(1, cfg.num_restarts)
+    run_chunk = _jitted_chunk(cfg, constraints is not None, R)
+    if R > 1:
+        state = jax.vmap(lambda k: solver.init_state(robot, cfg, q0, qN, k)
+                         )(jax.random.split(key, R))
+    else:
+        state = solver.init_state(robot, cfg, q0, qN, key)
     deadline = time.monotonic() + cfg.planning_time_limit
     while True:
-        limit = jnp.int32(min(int(state.iteration) + chunk_iterations,
-                              cfg.max_iterations))
+        it_now = int(jnp.max(state.iteration)) if R > 1 \
+            else int(state.iteration)
+        limit = jnp.int32(min(it_now + chunk_iterations, cfg.max_iterations))
         state = run_chunk(robot, world, constraints, ops, q0, qN, state, limit)
-        if bool(state.done) or time.monotonic() >= deadline:
+        done = bool(jnp.all(state.done)) if R > 1 else bool(state.done)
+        if done or time.monotonic() >= deadline:
             break
-    sol = _jitted_finalize(cfg, constraints is not None)(
+    sol = _jitted_finalize(cfg, constraints is not None, R)(
         robot, world, constraints, ops, q0, qN, state)
     _maybe_animate(robot, world, sol, cfg)
     return sol
@@ -301,6 +340,7 @@ def plan_batch(robot: RobotSpec, world, problem: ProblemSpec,
     batch axis on every field. For multi-chip sharding of the batch axis, see
     engine/distributed.py.
     """
+    robot = _sanitize_robot(robot)
     q0 = jnp.asarray(problem.q0, jnp.float32)
     qN = jnp.asarray(problem.qN, jnp.float32)
     if keys is None:
@@ -383,9 +423,12 @@ def plan_batch_stream(robot: RobotSpec, world, problems,
 
     for item in problems:
         prob, keys = item if isinstance(item, tuple) else (item, None)
-        inflight.append(_dispatch(prob, keys))
-        while len(inflight) > depth:
+        # drain BEFORE dispatching so at most `depth` batches are ever
+        # resident on the device (the r4 append-first order kept depth+1
+        # in flight, one more than documented)
+        while len(inflight) >= depth:
             yield _out(inflight.popleft())
+        inflight.append(_dispatch(prob, keys))
     while inflight:
         yield _out(inflight.popleft())
 

@@ -72,7 +72,9 @@ def tune(robot, world, problem: ProblemSpec,
     are its learning rate/weights — static by nature).
     """
     assert cfg.mode == "stomp", "tune() sweeps STOMP exploration knobs"
-    from tpustomp.api.plan import resolve_backend
+    from tpustomp.api.plan import _sanitize_robot, resolve_backend
+
+    robot = _sanitize_robot(robot)
 
     q0s = np.asarray(problem.q0, np.float32)
     qNs = np.asarray(problem.qN, np.float32)
@@ -104,8 +106,11 @@ def tune(robot, world, problem: ProblemSpec,
     scored = []
     for c, sc, it, co in zip(cells, succ, iters, cost):
         label = f"scale={c[0]:g}/h={c[1]:g}/decay={c[2]:g}"
-        mcost = float(np.where(np.isfinite(co), co, np.nan)[sc].mean()) \
-            if sc.any() else float("inf")
+        # mean over successful rows with FINITE cost only: a successful row
+        # carrying inf/NaN cost must neither poison the mean nor make the
+        # max() tie-break order-dependent (NaN compares are unordered)
+        fin = sc & np.isfinite(co)
+        mcost = float(co[fin].mean()) if fin.any() else float("inf")
         table[label] = {
             "success_rate": float(sc.mean()),
             "mean_iterations": float(it.mean()),

@@ -123,6 +123,8 @@ def plan_sharded(robot, world, problem: ProblemSpec,
     """
     if mesh is None:
         mesh = make_mesh()
+    from tpustomp.api.plan import _sanitize_robot
+    robot = _sanitize_robot(robot)
     q0 = np.asarray(problem.q0, np.float32)
     qN = np.asarray(problem.qN, np.float32)
     if keys is None:
