@@ -51,6 +51,22 @@ def config2_scene():
     return robot, world, q0, qN
 
 
+def config2_grid_scene():
+    """config-2 with the YAML's OWN voxel grid spec (configs/
+    config2_tabletop.yaml `grid:`): the tabletop scene voxelized at 2.5 cm
+    through the signed-EDT pipeline — BASELINE configs[1]'s literal
+    "tabletop SDF world". Same robot/start/goal as config2_scene; only the
+    world representation changes (GridSDF packed-corner table), so analytic
+    vs grid rows isolate the SDF-gather cost."""
+    from tpustomp.world import edt
+
+    robot, analytic, q0, qN = config2_scene()
+    occ = edt.occupancy_from_analytic(analytic, (-0.2, -1.0, 0.0),
+                                      (64, 80, 48), 0.025)
+    grid = edt.signed_edt(occ, 0.025, (-0.2, -1.0, 0.0))
+    return robot, grid, q0, qN
+
+
 def config2_cfg(**kw):
     from tpustomp.api.config import PlannerConfig, NoiseConfig, CostWeights
 

@@ -67,11 +67,18 @@ def _init_states(robot, cfg, B, q0, qN, speed=0.2, seed=0):
     return states
 
 
-def run(B=8192, ticks_lo=4, ticks_hi=8, reps=3, world_dt=0.1):
+def run(B=8192, ticks_lo=4, ticks_hi=8, reps=3, world_dt=0.1, grid=False):
     from tpustomp.engine import mpc
     from tpustomp.engine.distributed import make_mesh
 
-    robot, static_world, q0, qN = config2_scene()
+    if grid:
+        # CompositeWorld: static voxel tabletop (GridSDF) + per-scenario
+        # moving sphere on the analytic overlay — the grid-scene MPC path
+        # (engine/mpc._tick_world_batch; VERDICT r4 item 1c)
+        from bench.common import config2_grid_scene
+        robot, static_world, q0, qN = config2_grid_scene()
+    else:
+        robot, static_world, q0, qN = config2_scene()
     cfg = _cfg5()
     radius = np.asarray([0.12], np.float32)
     mesh = make_mesh()
@@ -107,6 +114,7 @@ def run(B=8192, ticks_lo=4, ticks_hi=8, reps=3, world_dt=0.1):
     coll = float(jnp.mean(out_hi.collided.astype(jnp.float32)))
     dist = float(jnp.mean(jnp.linalg.norm(out_hi.q - out_hi.qN, axis=1)))
     res = {
+        "world": "grid_composite" if grid else "analytic",
         "batch": B,
         "ticks_slope": [ticks_lo, ticks_hi],
         "n": reps,
@@ -127,6 +135,88 @@ def run(B=8192, ticks_lo=4, ticks_hi=8, reps=3, world_dt=0.1):
                 "dispatch+gather.",
     }
     log(f"mpc_config5: {res}")
+    return res
+
+
+def run_episode(B=8192, ticks=120, reps=2, world_dt=0.1, grid=False,
+                chunk_ticks=10, goal_eps=0.05):
+    """Episode-level config-5 completion metrics (VERDICT r4 item 2).
+
+    Runs FULL episodes (`ticks` control steps, >= 2x the ~60-tick goal-
+    contraction horizon of this cfg) at scale through the production
+    resilient driver (`run_mpc_resilient`, chunked host snapshots — the
+    code path a real long-running deployment uses), and reports the task-
+    completion half of the config-5 story:
+
+      - reached_rate: fraction of scenarios whose executed configuration
+        came within `goal_eps` rad (inf-norm, per joint) of the goal at
+        any tick (MPCState.reached_tick >= 0);
+      - median_ticks_to_goal over the reached scenarios;
+      - collision_rate: cumulative over the whole episode;
+      - residual_goal_distance_rad: mean ||q - qN||_2 at episode end;
+      - sustained replans/s over the whole episode INCLUDING chunk-
+        boundary host syncs (the honest serving figure; the slope-based
+        `run()` number is the pure-device rate).
+
+    reps episodes are timed after a first compile+run episode; scenario
+    initial states are identical across reps (same seeds), so completion
+    metrics are deterministic and timing spread is visible.
+    """
+    from tpustomp.engine import mpc
+    from tpustomp.engine.distributed import make_mesh
+
+    if grid:
+        from bench.common import config2_grid_scene
+        robot, static_world, q0, qN = config2_grid_scene()
+    else:
+        robot, static_world, q0, qN = config2_scene()
+    cfg = _cfg5()
+    radius = np.asarray([0.12], np.float32)
+    mesh = make_mesh()
+    states = _init_states(robot, cfg, B, q0, qN)
+
+    def episode():
+        t0 = time.perf_counter()
+        out = mpc.run_mpc_resilient(robot, cfg, states, radius, ticks,
+                                    world_dt, mesh=mesh,
+                                    chunk_ticks=chunk_ticks,
+                                    static_world=static_world,
+                                    goal_eps=goal_eps)
+        _ = float(jnp.sum(out.q))
+        return out, time.perf_counter() - t0
+
+    out, t_first = episode()
+    log(f"mpc episode B={B} ticks={ticks} grid={grid} compile+first: "
+        f"{t_first:.1f}s")
+    walls = []
+    for _ in range(reps):
+        out, w = episode()
+        walls.append(w)
+
+    reached = np.asarray(out.reached_tick)
+    ok = reached >= 0
+    res = {
+        "world": "grid_composite" if grid else "analytic",
+        "batch": B,
+        "ticks": ticks,
+        "chunk_ticks": chunk_ticks,
+        "goal_eps_rad_inf": goal_eps,
+        "n": reps,
+        "reached_rate": float(ok.mean()),
+        "median_ticks_to_goal": (float(np.median(reached[ok]))
+                                 if ok.any() else None),
+        "collision_rate": float(np.mean(np.asarray(out.collided))),
+        "residual_goal_distance_rad": float(np.mean(
+            np.linalg.norm(np.asarray(out.q - out.qN), axis=1))),
+        "sustained_replans_per_sec": {
+            "median": B * ticks / float(np.median(walls)),
+            "min": B * ticks / float(np.max(walls)),
+            "max": B * ticks / float(np.min(walls))},
+        "episode_wall_s": {"median": float(np.median(walls)),
+                           "min": float(np.min(walls)),
+                           "max": float(np.max(walls))},
+    }
+    log(f"mpc_config5_episode grid={grid}: {res}")
     return res
 
 

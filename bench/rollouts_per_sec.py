@@ -4,6 +4,14 @@ kernel (SURVEY §4.4) — sample K rollouts → joint limits → FK → SDF → 
 Measured as the slope between two iteration counts of the full solver loop
 (fixed overhead cancels), at both the latency shape (1 scenario) and the
 throughput shape (batched scenarios), plus a speed-of-light estimate.
+
+Variance methodology (r4 VERDICT weak #2): the 1-scenario shape times a
+~0.04 ms/iter kernel through ~25 ms of relay dispatch, so a single slope
+estimate swung −41% between runs. Every figure is now the {median, min,
+max, n} of `n` PAIRED slope estimates — each pair times the lo- and
+hi-iteration programs back to back (each sample itself a median of 3
+calls), so per-pair drift cancels and cross-pair spread is visible in the
+artifact instead of silently contaminating a bare scalar.
 """
 
 import sys
@@ -36,7 +44,7 @@ def _solve_fn(cfg, batch=None):
     return run, ops
 
 
-def run(batch=64, iters_lo=100, iters_hi=400):
+def run(batch=64, iters_lo=100, iters_hi=400, n=5):
     import jax.numpy as jnp
     from tpustomp.api.plan import resolve_backend
 
@@ -45,7 +53,7 @@ def run(batch=64, iters_lo=100, iters_hi=400):
     out = {"backend": resolve_backend(config2_cfg(), robot,
                                       world).obstacle_backend}
     for label, B in (("latency_1_scenario", None), (f"throughput_B{batch}", batch)):
-        times = {}
+        runs = {}
         for iters in (iters_lo, iters_hi):
             cfg = config2_cfg(max_iterations=iters,
                               max_iterations_after_collision_free=10**6)
@@ -61,14 +69,30 @@ def run(batch=64, iters_lo=100, iters_hi=400):
                                  + rng.uniform(-0.03, 0.03, (B, 7)).astype(np.float32))
                 args = (robot, world, ops, Q0, QN,
                         jax.random.split(jax.random.PRNGKey(0), B))
-            times[iters] = timed(fn, *args, n=3)
-            log(f"{label} iters={iters}: {times[iters]*1e3:.1f} ms")
-        per_iter = (times[iters_hi] - times[iters_lo]) / (iters_hi - iters_lo)
+            runs[iters] = (fn, args)
+            timed(fn, *args, n=1)   # warm compile before any pairing
+        slopes = []
+        for i in range(n):
+            t_lo = timed(runs[iters_lo][0], *runs[iters_lo][1], n=3,
+                         warmup=0)
+            t_hi = timed(runs[iters_hi][0], *runs[iters_hi][1], n=3,
+                         warmup=0)
+            slopes.append((t_hi - t_lo) / (iters_hi - iters_lo))
+            log(f"{label} pair {i}: lo={t_lo*1e3:.1f} ms hi={t_hi*1e3:.1f} ms"
+                f" slope={slopes[-1]*1e6:.1f} us/iter")
+        slopes = np.asarray(slopes)
         K = 56  # 1 current + 50 new + 5 reused candidate evaluations
         scen = 1 if B is None else B
         out[label] = {
-            "per_iteration_ms": per_iter * 1e3,
-            "rollouts_per_sec": scen * K / per_iter,
+            "n": n,
+            "per_iteration_ms": {
+                "median": float(np.median(slopes)) * 1e3,
+                "min": float(np.min(slopes)) * 1e3,
+                "max": float(np.max(slopes)) * 1e3},
+            "rollouts_per_sec": {
+                "median": scen * K / float(np.median(slopes)),
+                "min": scen * K / float(np.max(slopes)),
+                "max": scen * K / float(np.min(slopes))},
         }
         log(f"{label}: {out[label]}")
     return out

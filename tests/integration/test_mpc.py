@@ -42,6 +42,33 @@ def test_mpc_avoids_moving_obstacle():
     assert np.all(np.isfinite(np.asarray(out.theta)))
 
 
+def test_mpc_reached_tick_tracks_completion():
+    """Episode-completion bookkeeping: reached_tick latches the FIRST tick
+    within goal_eps and never un-latches; an unreached scenario stays -1."""
+    robot = model.planar_2r(body_radius=0.05)
+    cfg = _cfg()
+    # obstacle far away: the plan executes toward the goal unobstructed
+    center = np.array([[50.0, 50.0, 0.0]], np.float32)
+    vel = np.zeros((1, 3), np.float32)
+    radius = jnp.asarray([0.1], jnp.float32)
+    state = mpc.init_mpc(robot, cfg, Q0, QN, center, vel,
+                         jax.random.PRNGKey(0))
+    # the fixed-horizon replan contracts the goal gap geometrically
+    # (~0.9/tick here); 60 ticks is comfortably past the 0.05-rad latch
+    out = mpc.run_mpc(robot, cfg, state, radius, num_ticks=60, world_dt=0.1)
+    rt = int(out.reached_tick)
+    assert 1 <= rt <= 60, rt
+    assert float(jnp.max(jnp.abs(out.q - out.qN))) < mpc.GOAL_EPS
+    # a too-short run has not reached yet
+    short = mpc.run_mpc(robot, cfg, state, radius, num_ticks=2, world_dt=0.1)
+    assert int(short.reached_tick) == -1
+    # batched path agrees with the single-scenario path
+    states = jax.tree.map(lambda x: jnp.stack([x, x]), state)
+    outB = mpc.run_mpc_batch(robot, cfg, states, radius, num_ticks=60,
+                             world_dt=0.1)
+    np.testing.assert_array_equal(np.asarray(outB.reached_tick), [rt, rt])
+
+
 def test_mpc_sharded_matches_vmap():
     robot = model.planar_2r(body_radius=0.05)
     cfg = _cfg()

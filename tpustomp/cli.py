@@ -204,12 +204,16 @@ def _run_mpc(doc, robot, world, q0, qN, cfg, args):
     wall = time.perf_counter() - t0
     goal_dist = np.linalg.norm(np.asarray(out_state.q - out_state.qN),
                                axis=-1)
+    reached = np.asarray(out_state.reached_tick)
     out = {
         "scenarios": n,
         "ticks": ticks,
         "collision_rate": float(np.mean(np.asarray(out_state.collided))),
         "mean_goal_distance": float(goal_dist.mean()),
         "reached_rate_0.2rad": float((goal_dist < 0.2).mean()),
+        "reached_rate": float((reached >= 0).mean()),
+        "median_ticks_to_goal": (float(np.median(reached[reached >= 0]))
+                                 if (reached >= 0).any() else None),
         "wall_seconds": round(wall, 3),
         "replans_per_sec_incl_compile": round(n * ticks / wall, 1),
         "device": str(jax.devices()[0]),

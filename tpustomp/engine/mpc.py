@@ -49,6 +49,8 @@ class MPCState:
     key: jax.Array
     steps: jnp.ndarray          # int32 ticks executed
     collided: jnp.ndarray       # bool — executed waypoint hit an obstacle
+    reached_tick: jnp.ndarray   # int32 first tick with |q−qN|∞ < goal_eps
+    #                             (-1 until reached) — episode completion
 
 
 def init_mpc(robot: RobotSpec, cfg: PlannerConfig, q0, qN, sphere_center,
@@ -68,6 +70,7 @@ def init_mpc(robot: RobotSpec, cfg: PlannerConfig, q0, qN, sphere_center,
         key=key,
         steps=jnp.int32(0),
         collided=jnp.bool_(False),
+        reached_tick=jnp.int32(-1),
     )
 
 
@@ -76,6 +79,20 @@ def init_mpc(robot: RobotSpec, cfg: PlannerConfig, q0, qN, sphere_center,
 # endpoint). 4 sub-samples at typical tick lengths (~0.05 rad joint motion)
 # bound the unchecked workspace gap well below common obstacle radii.
 _SEGMENT_CHECK_SAMPLES = 4
+
+# Default goal-completion tolerance (rad, per-joint inf-norm): a scenario
+# counts as "reached" the first tick its executed configuration is within
+# GOAL_EPS of the goal on every joint. Override via the goal_eps argument
+# of mpc_step / run_mpc / run_mpc_sharded / run_mpc_resilient.
+GOAL_EPS = 0.05
+
+
+def _update_reached(reached_tick, q_next, qN, steps, goal_eps, axis=None):
+    """First-reach bookkeeping: latch the tick index when |q−qN|∞ first
+    drops below goal_eps (axis=1 for a [B, d] batch)."""
+    err = jnp.max(jnp.abs(q_next - qN), axis=axis)
+    now = err < goal_eps
+    return jnp.where((reached_tick < 0) & now, steps + 1, reached_tick)
 
 
 def _shift_warm_start(theta, qN):
@@ -112,7 +129,7 @@ def _tick_world(centers, sphere_radius, static_world):
 
 def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
              sphere_radius: jnp.ndarray, world_dt: float,
-             static_world=None) -> MPCState:
+             static_world=None, goal_eps: float = GOAL_EPS) -> MPCState:
     """One control tick: move world, execute one waypoint, replan."""
     # 1. world advances
     centers = state.sphere_center + state.sphere_vel * world_dt
@@ -145,18 +162,20 @@ def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
         key=key,
         steps=state.steps + 1,
         collided=state.collided | (margin <= 0.0),
+        reached_tick=_update_reached(state.reached_tick, q_next, state.qN,
+                                     state.steps, goal_eps),
     )
 
 
 def run_mpc(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
             sphere_radius, num_ticks: int, world_dt: float,
-            static_world=None) -> MPCState:
+            static_world=None, goal_eps: float = GOAL_EPS) -> MPCState:
     """Run `num_ticks` control steps (lax.scan; jit/vmap/shard-able)."""
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
 
     def tick(s, _):
         return mpc_step(robot, cfg, ops, s, sphere_radius, world_dt,
-                        static_world), None
+                        static_world, goal_eps), None
 
     state, _ = jax.lax.scan(tick, state, None, length=num_ticks)
     return state
@@ -188,7 +207,8 @@ def _tick_world_batch(centers, sphere_radius, static_world):
 
 def mpc_step_batch(robot: RobotSpec, cfg: PlannerConfig, ops,
                    state: MPCState, sphere_radius: jnp.ndarray,
-                   world_dt: float, static_world=None) -> MPCState:
+                   world_dt: float, static_world=None,
+                   goal_eps: float = GOAL_EPS) -> MPCState:
     """Batched `mpc_step`: state leaves carry a leading [B] scenario axis.
 
     Per-scenario semantics match mpc_step; the replan goes through
@@ -229,25 +249,28 @@ def mpc_step_batch(robot: RobotSpec, cfg: PlannerConfig, ops,
         key=key,
         steps=state.steps + 1,
         collided=state.collided | (margin <= 0.0),
+        reached_tick=_update_reached(state.reached_tick, q_next, state.qN,
+                                     state.steps, goal_eps, axis=1),
     )
 
 
 def run_mpc_batch(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                   sphere_radius, num_ticks: int, world_dt: float,
-                  static_world=None) -> MPCState:
+                  static_world=None, goal_eps: float = GOAL_EPS) -> MPCState:
     """Batched run_mpc: state leaves carry a leading [B] scenario axis."""
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
 
     def tick(s, _):
         return mpc_step_batch(robot, cfg, ops, s, sphere_radius, world_dt,
-                              static_world), None
+                              static_world, goal_eps), None
 
     state, _ = jax.lax.scan(tick, state, None, length=num_ticks)
     return state
 
 
 def _run_batch_select(robot, cfg: PlannerConfig, state, sphere_radius,
-                      num_ticks: int, world_dt: float, static_world):
+                      num_ticks: int, world_dt: float, static_world,
+                      goal_eps: float = GOAL_EPS):
     """Batched-execution selector — the ONE code path for batched MPC runs.
 
     STOMP scenarios replan through the flat batched solver (one fused
@@ -264,21 +287,22 @@ def _run_batch_select(robot, cfg: PlannerConfig, state, sphere_radius,
             cfg.obstacle_backend != "pallas"
             or getattr(robot, "body_counts", None) is not None):
         return run_mpc_batch(robot, cfg, state, sphere_radius, num_ticks,
-                             world_dt, static_world)
+                             world_dt, static_world, goal_eps)
     return jax.vmap(
         lambda s: run_mpc(robot, cfg, s, sphere_radius, num_ticks,
-                          world_dt, static_world)
+                          world_dt, static_world, goal_eps)
     )(state)
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_mpc(cfg: PlannerConfig, mesh, num_ticks: int, world_dt: float):
+def _sharded_mpc(cfg: PlannerConfig, mesh, num_ticks: int, world_dt: float,
+                 goal_eps: float):
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
     replicated = NamedSharding(mesh, P())
 
     def run(robot, state, sphere_radius, static_world):
         return _run_batch_select(robot, cfg, state, sphere_radius, num_ticks,
-                                 world_dt, static_world)
+                                 world_dt, static_world, goal_eps)
 
     return jax.jit(run, in_shardings=(replicated, sharding, replicated,
                                       replicated),
@@ -297,7 +321,8 @@ def _probe_world(static_world):
 
 def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                     sphere_radius, num_ticks: int, world_dt: float,
-                    mesh=None, static_world=None) -> MPCState:
+                    mesh=None, static_world=None,
+                    goal_eps: float = GOAL_EPS) -> MPCState:
     """Batched MPC over the scenario mesh (BASELINE config 5).
 
     `state` leaves carry a leading [batch] axis (process-local shard in
@@ -311,7 +336,7 @@ def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     cfg = resolve_backend(cfg, robot, _probe_world(static_world),
                           batch_hint=jax.tree.leaves(state)[0].shape[0])
     state = jax.tree.map(lambda x: _shard_batch(np.asarray(x), mesh), state)
-    fn = _sharded_mpc(cfg, mesh, num_ticks, world_dt)
+    fn = _sharded_mpc(cfg, mesh, num_ticks, world_dt, goal_eps)
     return fn(robot, state, jnp.asarray(sphere_radius, jnp.float32),
               static_world)
 
@@ -344,6 +369,7 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                       sphere_radius, num_ticks: int, world_dt: float,
                       mesh=None, chunk_ticks: int | None = None,
                       max_retries: int = 2, static_world=None,
+                      goal_eps: float = GOAL_EPS,
                       _fault_hook=None) -> MPCState:
     """Failure-detecting MPC driver (SURVEY §6 failure-recovery row).
 
@@ -390,7 +416,8 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
         # just over the failed-row subset — a recovered scenario replays
         # the identical kernel/layout a never-failed one ran.
         return jax.jit(lambda sub: _run_batch_select(
-            robot, cfg, sub, radius, ticks, world_dt, static_world))
+            robot, cfg, sub, radius, ticks, world_dt, static_world,
+            goal_eps))
 
     # np.array (copy): device views are read-only, and the snapshot must not
     # alias buffers the next dispatch may donate
@@ -408,7 +435,8 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                 # buffers that lived on the device that just failed
                 out = to_host(run_mpc_sharded(robot, cfg, snapshot, radius,
                                               ticks, world_dt, mesh=mesh,
-                                              static_world=static_world))
+                                              static_world=static_world,
+                                              goal_eps=goal_eps))
                 break
             except _RetryableError as e:
                 print(f"[tpustomp.mpc] chunk {chunk_idx} attempt {attempt} "
