@@ -110,7 +110,8 @@ def headline(backend="auto", grid=False):
     return res
 
 
-def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False):
+def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False,
+                   constrained=False, torque_weight=0.0):
     """BASELINE metric 3: solves/s at the config-4 shape (B scenarios vmapped
     on one chip, fused backend, full solve-to-termination workload).
 
@@ -128,6 +129,12 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False):
     grid=True: the voxel signed-EDT tabletop (config2_grid_scene) —
     exercises the hybrid kinematics-kernel + XLA trilinear-gather tail at
     batch scale (the SURVEY §8.3 hard-part-1 path).
+
+    constrained=True: an upright orientation cone on the EE (A.6, the
+    paper's "glass of water") rides the solve — stays on the fused
+    time-major path via the kernel's EE-frame output, so the delta vs the
+    unconstrained row IS the constraint-evaluation cost (r4's fallback
+    cliff is gone; solver._tm_step_eligible).
     Every scalar is reported as {median, min, max, n} over `n` repeats.
     """
     import jax.numpy as jnp
@@ -143,6 +150,31 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False):
         cfg = cfg.replace(pi2_h=20.0,
                           noise=NoiseConfig(stddev=0.25, decay=1.0,
                                             num_rollouts_reused=5))
+    if torque_weight:
+        # A.8 end-to-end row (VERDICT r4 item 6): RNE inverse dynamics on
+        # every candidate wayppoint, vmapped XLA stage on the fused path.
+        # The weight sits well below the obstacle scale (gravity torques
+        # are O(10) Nm vs O(0.1) potentials — tests/integration/
+        # test_torque_e2e.py).
+        from tpustomp.api.config import CostWeights
+        cfg = cfg.replace(weights=CostWeights(
+            obstacle=1.0, smoothness=0.1, torque=torque_weight))
+    constraints = None
+    if constrained:
+        from bench.experiment_suite import sample_problems, upright_filter
+        from tpustomp.costs.constraints import OrientationConstraint
+        constraints = OrientationConstraint.make(
+            axis_local=(0, 0, 1), target_world=(0, 0, 1),
+            tolerance=0.25, weight=10.0)
+        # clamped endpoints must satisfy the cone THEMSELVES: with the
+        # default tilted nominal pose the endpoint rows drag every interior
+        # waypoint against the constraint and success collapses to 0
+        # (measured) — so the constrained row jitters an upright-feasible
+        # hard problem instead
+        uq0, uqN = sample_problems(robot, world, 1, seed=1,
+                                   config_filter=upright_filter(robot,
+                                                                tol=0.2))
+        q0, qN = uq0[0], uqN[0]
     rng = np.random.default_rng(0)
     Q0 = (np.tile(q0, (B, 1)) + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
     QN = (np.tile(qN, (B, 1)) + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
@@ -171,7 +203,8 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False):
             f"{time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
     sol = solve(robot, world, prob, cfg,
-                keys=jax.random.split(jax.random.PRNGKey(0), B))
+                keys=jax.random.split(jax.random.PRNGKey(0), B),
+                constraints=constraints)
     _ = float(jnp.sum(sol.cost))
     log(f"batched B={B} retry={retry} swept={swept} compile+first: "
         f"{time.perf_counter() - t0:.1f}s")
@@ -179,7 +212,8 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False):
     for i in range(1, n + 1):
         t0 = time.perf_counter()
         sol = solve(robot, world, prob, cfg,
-                    keys=jax.random.split(jax.random.PRNGKey(i), B))
+                    keys=jax.random.split(jax.random.PRNGKey(i), B),
+                    constraints=constraints)
         _ = float(jnp.sum(sol.cost))
         ts.append(time.perf_counter() - t0)
         succs.append(float(jnp.mean(sol.success.astype(jnp.float32))))
@@ -245,8 +279,14 @@ def main():
                 1024, swept=True)
             details["throughput_config4_B256_grid"] = solves_per_sec(
                 256, grid=True)
+            details["throughput_config4_B256_torque"] = solves_per_sec(
+                256, torque_weight=0.005)
             details["throughput_config4_B1024_grid"] = solves_per_sec(
                 1024, grid=True)
+            # constrained vs its like-for-like control is the _swept row
+            # (same exploration config)
+            details["throughput_config4_B1024_constrained"] = solves_per_sec(
+                1024, constrained=True, swept=True)
         except Exception as e:  # pragma: no cover
             log(f"solves/s bench failed: {e}")
         if on_tpu:
@@ -288,6 +328,12 @@ def main():
                 n=25, modes=("stomp", "chomp"))
         except Exception as e:  # pragma: no cover
             log(f"experiment suite skipped: {e}")
+        try:
+            from bench.experiment_suite import run_constrained_suite
+            details["experiment_suite_constrained"] = run_constrained_suite(
+                n=25)
+        except Exception as e:  # pragma: no cover
+            log(f"constrained suite skipped: {e}")
         if on_tpu:
             try:
                 from bench.step_bisect import run as bisect_run

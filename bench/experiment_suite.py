@@ -74,10 +74,34 @@ def _config_margin_fn(robot, world, clearance):
     return margins
 
 
+def upright_filter(robot, axis_local=(0, 0, 1), target_world=(0, 0, 1),
+                   tol=0.25):
+    """[M, d] -> [M] bool: EE axis within `tol` rad of the world target —
+    endpoint filter for the constrained ("glass of water") suite row, since
+    clamped endpoints must satisfy the cone themselves."""
+    from tpustomp.robot.fk import fk_frames
+
+    a = jnp.asarray(axis_local, jnp.float32)
+    t = jnp.asarray(target_world, jnp.float32)
+
+    @jax.jit
+    def f(qs):
+        def one(q):
+            _, rot, _ = fk_frames(robot, q)
+            ach = rot[-1] @ a
+            return jnp.arccos(jnp.clip(jnp.dot(ach, t), -1.0, 1.0)) < tol
+        return jax.vmap(one)(qs)
+
+    return f
+
+
 def sample_problems(robot, world, n, clearance=0.03, seed=0,
-                    max_batches=400):
+                    max_batches=400, config_filter=None):
     """Rejection-sample `n` hard problems: endpoints free, straight line in
-    collision. Returns (q0s [n,d], qNs [n,d])."""
+    collision. Returns (q0s [n,d], qNs [n,d]).
+
+    config_filter: optional [M, d] -> [M] bool — additional endpoint
+    acceptance (e.g. upright_filter for the constrained row)."""
     from tpustomp.engine.trajectory import min_jerk_init
     from tpustomp.robot.fk import body_positions
     from tpustomp.world.sdf import sdf
@@ -114,6 +138,8 @@ def sample_problems(robot, world, n, clearance=0.03, seed=0,
             break
         cand = rng.uniform(lo, hi, (512, d)).astype(np.float32)
         ok = np.asarray(margins(jnp.asarray(cand))) > clearance
+        if config_filter is not None:
+            ok &= np.asarray(config_filter(jnp.asarray(cand)))
         free = cand[ok]
         if len(free) < 2:
             continue
@@ -198,6 +224,69 @@ def run_suite(n=125, seed=0, scenes=("tabletop", "shelf"),
             }
             log(f"[{scene_name}] {mode}: {res}")
             results[f"{scene_name}/{mode}"] = res
+    return results
+
+
+def run_constrained_suite(n=125, seed=0, tol=0.25, weight=10.0):
+    """The paper's "glass of water" task at suite scale (VERDICT r4 item 3a):
+    an orientation cone on the EE (axis z within `tol` rad of world-up)
+    through the tabletop scene, n hard problems whose endpoints satisfy the
+    cone, solved as ONE batched call on the fused time-major path (the
+    kernel emits the EE frame; solver._tm_step_eligible). The same problems
+    are also solved UNconstrained as the control: the constraint must cut
+    the trajectory's worst cone excess, not just coexist with success.
+    """
+    import time
+
+    from tpustomp.api.plan import plan_batch
+    from tpustomp.api.problem import ProblemSpec
+    from tpustomp.costs.constraints import OrientationConstraint
+    from tpustomp.robot import model
+    from tpustomp.robot.fk import fk_frames
+    from tpustomp.api.config import NoiseConfig
+
+    robot = model.arm_7dof()
+    world = tabletop_scene()
+    log(f"[constrained] sampling {n} upright-endpoint hard problems...")
+    q0s, qNs = sample_problems(robot, world, n, seed=seed,
+                               config_filter=upright_filter(robot, tol=tol))
+    prob = ProblemSpec(q0=q0s, qN=qNs)
+    cons = OrientationConstraint.make(axis_local=(0, 0, 1),
+                                      target_world=(0, 0, 1),
+                                      tolerance=tol, weight=weight)
+    cfg = config2_cfg(max_iterations=150, pi2_h=20.0,
+                      noise=NoiseConfig(stddev=0.25, decay=1.0,
+                                        num_rollouts_reused=5))
+    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+
+    @jax.jit
+    def max_excess(traj):  # [T, d] -> worst cone excess (rad) over waypoints
+        def one(q):
+            _, rot, _ = fk_frames(robot, q)
+            ach = rot[-1] @ jnp.asarray([0.0, 0.0, 1.0])
+            ang = jnp.arccos(jnp.clip(ach[2], -1.0, 1.0))
+            return jnp.maximum(ang - tol, 0.0)
+        return jnp.max(jax.vmap(one)(traj))
+
+    results = {}
+    for label, c in (("constrained", cons), ("unconstrained_control", None)):
+        t0 = time.perf_counter()
+        sol = plan_batch(robot, world, prob, cfg, keys=keys, constraints=c)
+        succ = np.asarray(sol.success)
+        exc = np.asarray(jax.vmap(max_excess)(sol.trajectory))
+        wall = time.perf_counter() - t0
+        results[label] = {
+            "n": n,
+            "cone_tolerance_rad": tol,
+            "success_rate": float(succ.mean()),
+            "mean_max_excess_rad": float(exc.mean()),
+            "p90_max_excess_rad": float(np.percentile(exc, 90)),
+            "satisfied_rate_0.05rad": float((exc < 0.05).mean()),
+            "mean_iterations": float(np.asarray(
+                sol.iterations, np.float32).mean()),
+            "wall_seconds_incl_compile": round(wall, 2),
+        }
+        log(f"[constrained/{label}]: {results[label]}")
     return results
 
 

@@ -66,27 +66,68 @@ class PositionConstraint:
         )
 
 
-def _ee_frame(robot: RobotSpec, q: jnp.ndarray):
-    pos, rot, _ = fk_frames(robot, q)
-    # tool point = last joint origin + rotated ee_offset (elementwise mat-vec)
-    p = pos[-1] + jnp.sum(rot[-1] * robot.ee_offset[None, :], axis=-1)
-    return p, rot[-1]
-
-
 def _cost_one(robot: RobotSpec, constraint, q: jnp.ndarray) -> jnp.ndarray:
-    p, R = _ee_frame(robot, q)
+    pos, rot, _ = fk_frames(robot, q)
+    p = [pos[-1][0], pos[-1][1], pos[-1][2]]
+    R = [rot[-1][i, j] for i in range(3) for j in range(3)]
+    return _cost_from_frame(robot, constraint, p, R)
+
+
+def frame_evaluable(constraints) -> bool:
+    """True when every constraint can be evaluated from the EE frame rows
+    the fused kernel emits (rollout_pallas ee_out) — the condition for a
+    constrained solve to stay on the time-major fused path."""
+    if constraints is None:
+        return True
+    if not isinstance(constraints, (tuple, list)):
+        constraints = (constraints,)
+    return all(isinstance(c, (OrientationConstraint, PositionConstraint))
+               for c in constraints)
+
+
+def _cost_from_frame(robot: RobotSpec, constraint, p, R):
+    """Constraint cost from an explicit EE frame. p: 3×[...], R: 9×[...]
+    (row-major rotation entries) — shared by the XLA path (single frame)
+    and the fused tail (whole [T, C] fields at once)."""
     if isinstance(constraint, OrientationConstraint):
-        # elementwise mat-vec: a batched 3x3 dot would hit padded MXU tiles
-        achieved = jnp.sum(R * constraint.axis_local[None, :], axis=-1)
-        cosang = jnp.clip(jnp.dot(achieved, constraint.target_world), -1.0, 1.0)
-        angle = jnp.arccos(cosang)
-        excess = jnp.maximum(angle - constraint.tolerance, 0.0)
+        a = constraint.axis_local
+        ach = [R[3 * i + 0] * a[0] + R[3 * i + 1] * a[1]
+               + R[3 * i + 2] * a[2] for i in range(3)]
+        t = constraint.target_world
+        cosang = jnp.clip(ach[0] * t[0] + ach[1] * t[1] + ach[2] * t[2],
+                          -1.0, 1.0)
+        excess = jnp.maximum(jnp.arccos(cosang) - constraint.tolerance, 0.0)
         return constraint.weight * excess**2
     if isinstance(constraint, PositionConstraint):
-        dist = jnp.linalg.norm(p - constraint.target_world)
+        o = robot.ee_offset
+        rel = [p[i] + R[3 * i + 0] * o[0] + R[3 * i + 1] * o[1]
+               + R[3 * i + 2] * o[2] - constraint.target_world[i]
+               for i in range(3)]
+        dist = jnp.sqrt(rel[0]**2 + rel[1]**2 + rel[2]**2)
         excess = jnp.maximum(dist - constraint.tolerance, 0.0)
         return constraint.weight * excess**2
     raise TypeError(f"unknown constraint type {type(constraint)}")
+
+
+def constraint_cost_tm(robot: RobotSpec, constraints,
+                       ee: jnp.ndarray) -> jnp.ndarray:
+    """Constraint cost from the fused kernel's EE-frame output.
+
+    ee: [12, T, C] (rows 0–2 position, 3–11 row-major rotation) →
+    [C, T] per-candidate per-waypoint cost. Pure elementwise XLA —
+    layout-compatible with the time-major batched step (no [C, T, d]
+    vmapped FK re-run; solver._tm_step_eligible)."""
+    T, C = ee.shape[1], ee.shape[2]
+    if constraints is None:
+        return jnp.zeros((C, T), ee.dtype)
+    if not isinstance(constraints, (tuple, list)):
+        constraints = (constraints,)
+    p = [ee[0], ee[1], ee[2]]
+    R = [ee[3 + k] for k in range(9)]
+    total = jnp.zeros((T, C), ee.dtype)
+    for c in constraints:
+        total = total + _cost_from_frame(robot, c, p, R)
+    return total.T
 
 
 def constraint_cost(robot: RobotSpec, constraints, full_traj: jnp.ndarray) -> jnp.ndarray:

@@ -520,17 +520,24 @@ def _tm_step_eligible(robot: RobotSpec, world, constraints,
 
     Requirements are those of the fully-fused analytic time-major kernel
     plus XLA-side stages that would otherwise need a scenario-major
-    transpose of the candidate tensor: analytic world, no constraint/torque
-    vmaps over [C, T, d] fulls, clip-mode rollout limits, unrolled kernel
+    transpose of the candidate tensor: analytic world, no torque vmaps
+    over [C, T, d] fulls, clip-mode rollout limits, unrolled kernel
     available, and the kernel layout not forced to candidate-major.
+
+    Constraints stay tm-eligible when every one is frame-evaluable
+    (Orientation/Position): the kernel emits the EE frame (ee_out) and the
+    constraint tail is elementwise XLA on [T, B·C]
+    (costs/constraints.constraint_cost_tm) — round-5 closure of the
+    r4 "constraint solves drop to the slowest path" gap.
     """
     import os
 
+    from tpustomp.costs.constraints import frame_evaluable
     from tpustomp.world.sdf import AnalyticWorld
 
     return (cfg.obstacle_backend == "pallas"
             and isinstance(world, AnalyticWorld)
-            and constraints is None
+            and frame_evaluable(constraints)
             and cfg.weights.torque == 0.0
             and cfg.rollout_limit_projection != "smooth"
             and getattr(robot, "body_counts", None) is not None
@@ -643,15 +650,29 @@ def make_step_batch_tm(robot: RobotSpec, world, constraints,
         # handed over as logical [B·C, T, d]; the kernel's internal
         # transpose cancels against this one (XLA folds the pair), so the
         # custom call receives the time-major array we just built
-        q_obs, margins = obstacle_cost_batch_pallas(
+        outs = obstacle_cost_batch_pallas(
             robot, expand_world(world, C), jnp.transpose(tm, (2, 1, 0)),
             cfg.dt, cfg.collision_clearance,
             interpret=cfg.pallas_interpret,
-            row_active=jnp.repeat(~stateB.done, C))
+            row_active=jnp.repeat(~stateB.done, C),
+            want_ee=constraints is not None)
+        if constraints is not None:
+            # fused-path constraints: the kernel's EE-frame rows feed an
+            # elementwise cone/position tail (costs/constraints.py) — no
+            # second FK sweep (_tm_step_eligible)
+            from tpustomp.costs.constraints import constraint_cost_tm
+            q_obs, margins, ee = outs
+            q_con = constraint_cost_tm(robot, constraints, ee
+                                       ).reshape(B, C, N + 2)
+        else:
+            q_obs, margins = outs
+            q_con = None
         q_obs = q_obs.reshape(B, C, N + 2)                    # lane = b·C + c
         margins = margins.reshape(B, C)
         ctrl_all = smoothness_cost_per_timestep_tm(ops, cand_tm, Q0, QN)
         S_all = cfg.weights.obstacle * q_obs
+        if q_con is not None:
+            S_all = S_all + cfg.weights.constraint * q_con
         ctrl_sums = jnp.sum(ctrl_all, axis=2)
         totals = jnp.sum(S_all, axis=2) + cfg.weights.smoothness * ctrl_sums
 
@@ -686,7 +707,8 @@ def make_step_batch_tm(robot: RobotSpec, world, constraints,
                                precision=jax.lax.Precision.HIGHEST)
 
         parts0 = (jnp.sum(q_obs[:, 0, :], axis=1), ctrl_sums[:, 0],
-                  jnp.zeros((B,), jnp.float32))
+                  jnp.zeros((B,), jnp.float32) if q_con is None
+                  else jnp.sum(q_con[:, 0, :], axis=1))
         return finish_v(stateB, keys_new, theta_new, reuse_new,
                         totals[:, 0], margins[:, 0], parts0)
 

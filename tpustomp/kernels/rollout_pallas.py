@@ -352,7 +352,8 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                           time_major: bool = False,
                           per_cand_world: bool = False,
                           with_activity: bool = False,
-                          static_joints: tuple | None = None):
+                          static_joints: tuple | None = None,
+                          ee_out: bool = False):
     """Scratch-free fused evaluator: UNROLLED joint loop, each link's bodies
     evaluated inline while the frame is live in registers.
 
@@ -406,6 +407,16 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
     SURVEY config 5) share the flat scenarios×candidates layout of
     solver.solve_batch instead of paying per-scenario tile padding.
 
+    ee_out (analytic + time_major only): emit a third output `ee
+    [12, T, C]` — the end-effector frame per waypoint per candidate (rows
+    0–2 world position of the LAST joint origin, rows 3–11 its rotation,
+    row-major), already live in registers when the joint loop finishes.
+    This is what lets Cartesian constraint costs (A.6, the paper's "glass
+    of water") ride the fused time-major path: the constraint tail becomes
+    ~40 elementwise XLA flops per waypoint on a [T, B·C] tensor instead of
+    a second vmapped FK sweep re-running the chain the kernel just
+    computed (solver._tm_step_eligible; VERDICT r4 item 3c).
+
     with_activity (analytic + time_major only): the call takes one extra
     SMEM vector `tile_active [n_tiles] int32`; a tile whose flag is 0 skips
     ALL compute and writes zero cost/margin rows. This is the sync-free
@@ -429,6 +440,9 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
     if with_activity:
         assert mode == "analytic" and time_major, \
             "tile-activity skip is implemented for the analytic time-major kernel"
+    if ee_out:
+        assert mode == "analytic" and time_major, \
+            "ee_out is implemented for the analytic time-major kernel"
     tile = tile_c or (128 if time_major else TILE_C)
     offsets = [0]
     for c in body_counts:
@@ -440,9 +454,10 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
             if with_activity:
                 act_ref = refs[0]
                 refs = refs[1:]
+            ee_ref = refs[-1] if ee_out else None
             (type_ref, axis_ref, off_ref, rotf_ref, base_ref, boff_ref,
              brad_ref, sph_ref, box_ref, cand_ref, q_obs_ref,
-             margin_ref) = refs
+             margin_ref) = refs[:12]
         else:
             (type_ref, axis_ref, off_ref, rotf_ref, base_ref, boff_ref,
              cand_ref, kin_ref) = refs
@@ -454,6 +469,9 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                 zero = jnp.zeros((T, tile), jnp.float32)
                 q_obs_ref[:, :] = zero
                 margin_ref[:, :] = zero
+                if ee_out:
+                    for k in range(12):
+                        ee_ref[k, :, :] = zero
 
             @pl.when(flag != 0)
             def _run():
@@ -463,9 +481,10 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
 
     def _kernel_body(*refs):
         if mode == "analytic":
+            ee_ref = refs[-1] if ee_out else None
             (type_ref, axis_ref, off_ref, rotf_ref, base_ref, boff_ref,
              brad_ref, sph_ref, box_ref, cand_ref, q_obs_ref,
-             margin_ref) = refs
+             margin_ref) = refs[:12]
         else:
             (type_ref, axis_ref, off_ref, rotf_ref, base_ref, boff_ref,
              cand_ref, kin_ref) = refs
@@ -650,6 +669,17 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
         if mode == "analytic":
             q_obs_ref[:, :] = q_obs * dt
             margin_ref[:, :] = margin
+            if ee_out:
+                # (p, R) after the last loop iteration ARE the EE frame —
+                # free to emit, they are already in registers. Under
+                # static-joint specialization an R entry can be the exact-
+                # zero sentinel (None); emit literal zeros for those.
+                ee_ref[0, :, :] = p0
+                ee_ref[1, :, :] = p1
+                ee_ref[2, :, :] = p2
+                for k in range(9):
+                    ee_ref[3 + k, :, :] = (mzero if R[k] is None
+                                           else R[k] + mzero)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     f32 = jnp.float32
@@ -696,23 +726,32 @@ def build_unrolled_kernel(shapes, dt: float, clearance: float,
                 if with_activity:
                     act_specs = [smem]
                     act_args = (tile_active.astype(jnp.int32),)
-                q_obs_t, margin_t = pl.pallas_call(
+                out_specs = [
+                    pl.BlockSpec((T, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((T, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)]
+                out_shape = [jax.ShapeDtypeStruct((T, C), f32),
+                             jax.ShapeDtypeStruct((T, C), f32)]
+                if ee_out:
+                    out_specs.append(
+                        pl.BlockSpec((12, T, tile), lambda i: (0, 0, i),
+                                     memory_space=pltpu.VMEM))
+                    out_shape.append(jax.ShapeDtypeStruct((12, T, C), f32))
+                outs = pl.pallas_call(
                     kernel,
                     grid=(C // tile,),
                     in_specs=act_specs + [smem] * 7 + world_specs + [
                         pl.BlockSpec((d, T, tile), lambda i: (0, 0, i),
                                      memory_space=pltpu.VMEM)],
-                    out_specs=[
-                        pl.BlockSpec((T, tile), lambda i: (0, i),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((T, tile), lambda i: (0, i),
-                                     memory_space=pltpu.VMEM)],
-                    out_shape=[jax.ShapeDtypeStruct((T, C), f32),
-                               jax.ShapeDtypeStruct((T, C), f32)],
+                    out_specs=out_specs,
+                    out_shape=out_shape,
                     interpret=interpret,
                 )(*act_args, *common, robot.body_radius.astype(f32), sph, box,
                   cand_jm)
-                return q_obs_t.T, margin_t.T
+                if ee_out:
+                    return outs[0].T, outs[1].T, outs[2]
+                return outs[0].T, outs[1].T
             return pl.pallas_call(
                 kernel,
                 grid=(C // tile,),
@@ -817,7 +856,7 @@ def _check_joint_static(robot):
 def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
                                dt: float, clearance: float,
                                interpret: bool = False, tile_c=None,
-                               row_active=None):
+                               row_active=None, want_ee: bool = False):
     """Batched obstacle cost via the fused kernels, with transparent padding.
 
     full_trajs: [C, T, d] -> (q_obs [C, T], margin [C]). Shapes are read from
@@ -831,6 +870,13 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
     stop paying kernel time inside the while_loop). Implemented as a
     per-tile skip on the time-major analytic kernels; other paths ignore
     the hint and compute everything (correct either way).
+
+    want_ee=True additionally returns the per-waypoint end-effector frame
+    `ee [12, T, C]` (kernel ee_out; unpadded candidate columns) — only
+    supported where the unrolled analytic time-major kernel runs (shared
+    or per-candidate analytic world, robot with body_counts, default
+    layout); asserted otherwise. Fused-path constraint costs consume it
+    (costs/constraints.constraint_cost_tm).
 
     PER-CANDIDATE WORLDS: analytic/overlay leaves may carry a leading
     candidate axis (sphere_center [C, S, 3] instead of [S, 3]) — every
@@ -860,6 +906,7 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
     robot = _check_joint_static(robot)
 
     if isinstance(world, (GridSDF, CompositeWorld)):
+        assert not want_ee, "want_ee needs the analytic time-major kernel"
         if (isinstance(world, CompositeWorld)
                 and world.overlay.sphere_center.ndim == 3):
             world = CompositeWorld(
@@ -912,8 +959,14 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
                                    skip_rotf=robot.rot_fixed_identity,
                                    with_activity=flags is not None,
                                    static_joints=getattr(
-                                       robot, "joint_static", None))
-        q_obs, margin_row = fn(padded_tm, robot, world, tile_active=flags)
+                                       robot, "joint_static", None),
+                                   ee_out=want_ee)
+        outs = fn(padded_tm, robot, world, tile_active=flags)
+        if want_ee:
+            q_obs, margin_row, ee = outs
+            return (q_obs[:C], jnp.min(margin_row[:C], axis=1),
+                    ee[:, :, :C])
+        q_obs, margin_row = outs
         return q_obs[:C], jnp.min(margin_row[:C], axis=1)
 
     # zero-length SMEM operands break Mosaic layout verification; pad empty
@@ -948,9 +1001,16 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
                                    skip_rotf=robot.rot_fixed_identity,
                                    with_activity=flags is not None,
                                    static_joints=getattr(
-                                       robot, "joint_static", None))
-        q_obs, margin_row = fn(padded_tm, robot, world, tile_active=flags)
+                                       robot, "joint_static", None),
+                                   ee_out=want_ee)
+        outs = fn(padded_tm, robot, world, tile_active=flags)
+        if want_ee:
+            q_obs, margin_row, ee = outs
+            return (q_obs[:C], jnp.min(margin_row[:C], axis=1),
+                    ee[:, :, :C])
+        q_obs, margin_row = outs
         return q_obs[:C], jnp.min(margin_row[:C], axis=1)
+    assert not want_ee, "want_ee needs the time-major unrolled kernel"
     if unrolled:
         fn = build_unrolled_kernel(shapes, dt, clearance, robot.body_counts,
                                    mode="analytic", interpret=interpret,
