@@ -140,10 +140,19 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False,
     import jax.numpy as jnp
     from tpustomp.api.plan import plan_batch, plan_batch_retry
     from tpustomp.api.problem import ProblemSpec
-    from bench.common import config2_cfg, config2_grid_scene, config2_scene
+    from bench.common import (config2_cfg, config2_decomposed_scene,
+                              config2_grid_scene, config2_scene)
 
-    robot, world, q0, qN = (config2_grid_scene() if grid
-                            else config2_scene())
+    # grid: False = analytic tabletop; True = voxel signed-EDT grid
+    # (hybrid kernel + XLA gather tail); "decomposed" = the same voxel
+    # occupancy compiled to analytic boxes (world/decompose.py — fully
+    # fused, gather-free)
+    if grid == "decomposed":
+        robot, world, q0, qN = config2_decomposed_scene()
+    elif grid:
+        robot, world, q0, qN = config2_grid_scene()
+    else:
+        robot, world, q0, qN = config2_scene()
     cfg = config2_cfg(max_iterations=50)  # obstacle_backend="auto" -> pallas on TPU
     if swept:
         from tpustomp.api.config import NoiseConfig
@@ -191,6 +200,7 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False,
         # (VERDICT r4 weak #1). Failure rates here are <=~10% of B, so
         # buckets up to B//4 cover every observed round.
         rcfg = cfg.replace(num_restarts=4)
+        wsol_full = None
         for bs in (16, 32, 64, 128, 256):
             if bs > B:
                 break
@@ -199,6 +209,23 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False,
                               keys=jax.random.split(jax.random.PRNGKey(99),
                                                     bs))
             _ = float(jnp.sum(wsol.cost))
+        # also warm the per-bucket merge jits (gather/fold/scatter) — the
+        # residual ~1.5 s outlier after solver warming was these small
+        # programs compiling at first-seen bucket shapes
+        from tpustomp.api.plan import (_gather_rows_jit, _retry_keys_jit,
+                                       _scatter_solution_jit)
+        wsol_full = plan_batch(robot, world, prob, cfg,
+                               keys=jax.random.split(jax.random.PRNGKey(98),
+                                                     B))
+        wkeys = jax.random.split(jax.random.PRNGKey(98), B)
+        for bs in (16, 32, 64, 128, 256):
+            if bs > B:
+                break
+            idx = jnp.asarray(np.arange(bs) % B)
+            _gather_rows_jit(jnp.asarray(Q0), idx)
+            _retry_keys_jit(wkeys, idx, 1)
+            part = jax.tree.map(lambda x: x[idx], wsol_full)
+            _ = _scatter_solution_jit(wsol_full, part, idx)
         log(f"retry buckets warmed (16..min(256,B)): "
             f"{time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
@@ -283,6 +310,8 @@ def main():
                 256, torque_weight=0.005)
             details["throughput_config4_B1024_grid"] = solves_per_sec(
                 1024, grid=True)
+            details["throughput_config4_B1024_grid_decomposed"] = \
+                solves_per_sec(1024, grid="decomposed")
             # constrained vs its like-for-like control is the _swept row
             # (same exploration config)
             details["throughput_config4_B1024_constrained"] = solves_per_sec(
@@ -303,14 +332,25 @@ def main():
             try:
                 from bench.mpc_bench import run as mpc_run
                 details["mpc_config5"] = mpc_run(B=8192)
-                details["mpc_config5_grid"] = mpc_run(B=8192, grid=True)
+                # voxel-grid CompositeWorld at the asked B=8192: the XLA
+                # gather tail puts a tick at ~12 s, so short slope + 2 reps
+                details["mpc_config5_grid"] = mpc_run(
+                    B=8192, grid=True, ticks_lo=2, ticks_hi=4, reps=2)
+                # the same voxel scene COMPILED to boxes (world/decompose)
+                # runs gather-free at ~analytic rate
+                details["mpc_config5_grid_decomposed"] = mpc_run(
+                    B=8192, grid="decomposed")
             except Exception as e:  # pragma: no cover
                 log(f"mpc config-5 bench failed: {e}")
             try:
                 from bench.mpc_bench import run_episode as mpc_episode
                 details["mpc_config5_episode"] = mpc_episode(B=8192)
+                details["mpc_config5_episode_grid_decomposed"] = mpc_episode(
+                    B=8192, grid="decomposed")
+                # the raw-gather grid episode is bounded to B=1024 to keep
+                # the wall under control (~1.5 s/tick); rate scales ~linearly
                 details["mpc_config5_episode_grid"] = mpc_episode(
-                    B=8192, grid=True)
+                    B=1024, grid=True, reps=1)
             except Exception as e:  # pragma: no cover
                 log(f"mpc config-5 episode bench failed: {e}")
         if on_tpu:

@@ -67,6 +67,24 @@ def config2_grid_scene():
     return robot, grid, q0, qN
 
 
+def config2_decomposed_scene():
+    """config-2's voxel occupancy COMPILED to analytic boxes
+    (world/decompose.py): the gather-free path for static voxel scenes —
+    the tabletop occupancy decomposes to exactly 2 boxes, which the fused
+    kernel evaluates from SMEM at VPU rate instead of paying the XLA
+    gather's ~55-67M index/s issue floor. Same voxel data as
+    config2_grid_scene; only the SDF representation differs (accuracy
+    contract in world/decompose.py)."""
+    from tpustomp.world import edt
+    from tpustomp.world.decompose import analytic_from_occupancy
+
+    robot, analytic, q0, qN = config2_scene()
+    occ = edt.occupancy_from_analytic(analytic, (-0.2, -1.0, 0.0),
+                                      (64, 80, 48), 0.025)
+    world = analytic_from_occupancy(occ, 0.025, (-0.2, -1.0, 0.0))
+    return robot, world, q0, qN
+
+
 def config2_cfg(**kw):
     from tpustomp.api.config import PlannerConfig, NoiseConfig, CostWeights
 

@@ -227,14 +227,27 @@ def run_suite(n=125, seed=0, scenes=("tabletop", "shelf"),
     return results
 
 
-def run_constrained_suite(n=125, seed=0, tol=0.25, weight=10.0):
+def run_constrained_suite(n=125, seed=0, tol=0.25,
+                          weights_sd=((0.3, 0.12), (3.0, 0.12),
+                                      (10.0, 0.25))):
     """The paper's "glass of water" task at suite scale (VERDICT r4 item 3a):
     an orientation cone on the EE (axis z within `tol` rad of world-up)
     through the tabletop scene, n hard problems whose endpoints satisfy the
-    cone, solved as ONE batched call on the fused time-major path (the
-    kernel emits the EE frame; solver._tm_step_eligible). The same problems
-    are also solved UNconstrained as the control: the constraint must cut
-    the trajectory's worst cone excess, not just coexist with success.
+    cone, solved as ONE batched call per setting on the fused time-major
+    path (the kernel emits the EE frame; solver._tm_step_eligible).
+
+    The artifact is a measured TRADEOFF CURVE, not one cherry-picked point
+    (round-5 weight×noise probes on 16-problem subsets): the cone term
+    competes with obstacle avoidance in the PI² softmax — when the cone is
+    violated its quadratic (w·excess², ~0.9 at w=10, excess 0.3) dwarfs
+    obstacle differences (~0.05), so candidates that tilt to dodge get
+    rejected. Measured: w=0.3/σ=0.12 keeps success 1.00 with the cone
+    satisfied on ~0.6 of problems (soft task preference, recommended
+    default); w=10/σ=0.25 drives residual excess lowest (mean 0.10 rad vs
+    the 0.93 unconstrained control) but halves collision-free success —
+    ~1/3 of hard+upright problems appear to require >0.05 rad of cone
+    excess at all. An unconstrained control on the same problems anchors
+    the curve.
     """
     import time
 
@@ -251,12 +264,6 @@ def run_constrained_suite(n=125, seed=0, tol=0.25, weight=10.0):
     q0s, qNs = sample_problems(robot, world, n, seed=seed,
                                config_filter=upright_filter(robot, tol=tol))
     prob = ProblemSpec(q0=q0s, qN=qNs)
-    cons = OrientationConstraint.make(axis_local=(0, 0, 1),
-                                      target_world=(0, 0, 1),
-                                      tolerance=tol, weight=weight)
-    cfg = config2_cfg(max_iterations=150, pi2_h=20.0,
-                      noise=NoiseConfig(stddev=0.25, decay=1.0,
-                                        num_rollouts_reused=5))
     keys = jax.random.split(jax.random.PRNGKey(seed), n)
 
     @jax.jit
@@ -268,8 +275,18 @@ def run_constrained_suite(n=125, seed=0, tol=0.25, weight=10.0):
             return jnp.maximum(ang - tol, 0.0)
         return jnp.max(jax.vmap(one)(traj))
 
+    settings = [(f"w{w:g}_sd{sd:g}",
+                 OrientationConstraint.make(axis_local=(0, 0, 1),
+                                            target_world=(0, 0, 1),
+                                            tolerance=tol, weight=w), sd)
+                for w, sd in weights_sd]
+    settings.append(("unconstrained_control", None, 0.25))
+
     results = {}
-    for label, c in (("constrained", cons), ("unconstrained_control", None)):
+    for label, c, sd in settings:
+        cfg = config2_cfg(max_iterations=300, pi2_h=20.0, num_restarts=2,
+                          noise=NoiseConfig(stddev=sd, decay=1.0,
+                                            num_rollouts_reused=5))
         t0 = time.perf_counter()
         sol = plan_batch(robot, world, prob, cfg, keys=keys, constraints=c)
         succ = np.asarray(sol.success)
@@ -282,6 +299,8 @@ def run_constrained_suite(n=125, seed=0, tol=0.25, weight=10.0):
             "mean_max_excess_rad": float(exc.mean()),
             "p90_max_excess_rad": float(np.percentile(exc, 90)),
             "satisfied_rate_0.05rad": float((exc < 0.05).mean()),
+            "success_and_satisfied_rate": float(
+                (succ & (exc < 0.05)).mean()),
             "mean_iterations": float(np.asarray(
                 sol.iterations, np.float32).mean()),
             "wall_seconds_incl_compile": round(wall, 2),

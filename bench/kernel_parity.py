@@ -149,10 +149,51 @@ def run(C=128, T=102, seed=0):
         "max_abs_dmargin": float(np.abs(m - p_ref_m).max()),
     }
     log(f"parity analytic_prismatic_rpr: {out['analytic_prismatic_rpr']}")
+    # EE-frame output (round 5, ee_out): the fused-path constraint tail
+    # reads these rows, so the COMPILED kernel's frame must match fk_frames
+    from tpustomp.kernels.rollout_pallas import obstacle_cost_batch_pallas
+    from tpustomp.robot.fk import fk_frames
+
+    q_e, m_e, ee = jax.jit(
+        lambda f: obstacle_cost_batch_pallas(robot, world, f, dt, clearance,
+                                             want_ee=True))(fulls)
+    ref_ee = jax.jit(jax.vmap(jax.vmap(
+        lambda qq: jnp.concatenate(
+            [fk_frames(robot, qq)[0][-1],
+             fk_frames(robot, qq)[1][-1].reshape(9)]))))(fulls)  # [C, T, 12]
+    d_ee = float(np.abs(np.asarray(jnp.transpose(ee, (2, 1, 0)))
+                        - np.asarray(ref_ee)).max())
+    out["ee_frame_rows"] = {
+        "max_abs_dq": float(np.abs(np.asarray(q_e) - ref_q).max()),
+        "max_rel_dq": float(np.abs(np.asarray(q_e) - ref_q).max() / scale_q),
+        "max_abs_dmargin": float(np.abs(np.asarray(m_e) - ref_m).max()),
+        "max_abs_dee": d_ee,
+    }
+    log(f"parity ee_frame_rows: {out['ee_frame_rows']}")
+    # voxel occupancy compiled to boxes (round 5, world/decompose): the
+    # decomposed world must match the XLA path ON ITSELF exactly (it is a
+    # different SDF from the grid by design; the accuracy contract vs the
+    # grid is tested in tests/unit/test_decompose.py)
+    from tpustomp.world import edt as edt_mod
+    from tpustomp.world.decompose import analytic_from_occupancy
+
+    occ = edt_mod.occupancy_from_analytic(world, origin, shape, res)
+    dec = analytic_from_occupancy(occ, res, origin)
+    dec_ref_q, dec_ref_m = _xla_reference(robot, dec, fulls, dt, clearance)
+    q, m = _pallas(robot, dec, fulls, dt, clearance)
+    out["analytic_decomposed_boxes"] = {
+        "max_abs_dq": float(np.abs(q - dec_ref_q).max()),
+        "max_rel_dq": float(np.abs(q - dec_ref_q).max()
+                            / max(float(np.abs(dec_ref_q).max()), 1e-6)),
+        "max_abs_dmargin": float(np.abs(m - dec_ref_m).max()),
+    }
+    log(f"parity analytic_decomposed_boxes: {out['analytic_decomposed_boxes']}")
     # fp32 reassociation tolerance: fail loudly if the compiled kernels have
     # actually diverged from the XLA semantics
     out["pass"] = all(v["max_rel_dq"] < 1e-3 and v["max_abs_dmargin"] < 1e-4
                       for k, v in out.items() if isinstance(v, dict))
+    out["pass"] = bool(out["pass"]
+                       and out["ee_frame_rows"]["max_abs_dee"] < 1e-4)
     return out
 
 

@@ -32,6 +32,21 @@ sys.path.insert(0, ".")
 from bench.common import config2_scene, log  # noqa: E402
 
 
+def _scene(grid):
+    """grid: False = analytic static tabletop; True = voxel GridSDF (the
+    CompositeWorld gather path, engine/mpc._tick_world_batch); "decomposed"
+    = the voxel occupancy compiled to analytic boxes (world/decompose.py)
+    merged into the per-scenario analytic world — gather-free at full
+    scale."""
+    if grid == "decomposed":
+        from bench.common import config2_decomposed_scene
+        return config2_decomposed_scene()
+    if grid:
+        from bench.common import config2_grid_scene
+        return config2_grid_scene()
+    return config2_scene()
+
+
 def _cfg5():
     from tpustomp.api.config import CostWeights, NoiseConfig, PlannerConfig
 
@@ -71,14 +86,7 @@ def run(B=8192, ticks_lo=4, ticks_hi=8, reps=3, world_dt=0.1, grid=False):
     from tpustomp.engine import mpc
     from tpustomp.engine.distributed import make_mesh
 
-    if grid:
-        # CompositeWorld: static voxel tabletop (GridSDF) + per-scenario
-        # moving sphere on the analytic overlay — the grid-scene MPC path
-        # (engine/mpc._tick_world_batch; VERDICT r4 item 1c)
-        from bench.common import config2_grid_scene
-        robot, static_world, q0, qN = config2_grid_scene()
-    else:
-        robot, static_world, q0, qN = config2_scene()
+    robot, static_world, q0, qN = _scene(grid)
     cfg = _cfg5()
     radius = np.asarray([0.12], np.float32)
     mesh = make_mesh()
@@ -114,7 +122,8 @@ def run(B=8192, ticks_lo=4, ticks_hi=8, reps=3, world_dt=0.1, grid=False):
     coll = float(jnp.mean(out_hi.collided.astype(jnp.float32)))
     dist = float(jnp.mean(jnp.linalg.norm(out_hi.q - out_hi.qN, axis=1)))
     res = {
-        "world": "grid_composite" if grid else "analytic",
+        "world": ("grid_decomposed" if grid == "decomposed" else
+                  "grid_composite" if grid else "analytic"),
         "batch": B,
         "ticks_slope": [ticks_lo, ticks_hi],
         "n": reps,
@@ -165,11 +174,7 @@ def run_episode(B=8192, ticks=120, reps=2, world_dt=0.1, grid=False,
     from tpustomp.engine import mpc
     from tpustomp.engine.distributed import make_mesh
 
-    if grid:
-        from bench.common import config2_grid_scene
-        robot, static_world, q0, qN = config2_grid_scene()
-    else:
-        robot, static_world, q0, qN = config2_scene()
+    robot, static_world, q0, qN = _scene(grid)
     cfg = _cfg5()
     radius = np.asarray([0.12], np.float32)
     mesh = make_mesh()
@@ -196,7 +201,8 @@ def run_episode(B=8192, ticks=120, reps=2, world_dt=0.1, grid=False,
     reached = np.asarray(out.reached_tick)
     ok = reached >= 0
     res = {
-        "world": "grid_composite" if grid else "analytic",
+        "world": ("grid_decomposed" if grid == "decomposed" else
+                  "grid_composite" if grid else "analytic"),
         "batch": B,
         "ticks": ticks,
         "chunk_ticks": chunk_ticks,

@@ -421,3 +421,45 @@ def test_constrained_solve_batch_stays_on_tm_path_and_matches_xla():
     np.testing.assert_allclose(np.asarray(got.trajectory),
                                np.asarray(ref.trajectory),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_grid_finish_scan_matches_vectorized(monkeypatch):
+    """The body-axis scan used above _GRID_SCAN_THRESHOLD (OOM guard for
+    large batches) must reproduce the vectorized tail."""
+    from tpustomp.world import edt
+
+    robot = model.arm_7dof()
+    world = AnalyticWorld.make(boxes=[((0.6, 0.0, 0.2), (0.45, 0.6, 0.25))])
+    grid = edt.grid_from_analytic(world, (-0.6, -1.2, -0.4), (40, 40, 30),
+                                  0.05)
+    rng = np.random.default_rng(9)
+    cand = jnp.asarray(rng.uniform(-1.2, 1.2, (16, 22, 7)), jnp.float32)
+    q_vec, m_vec = rp.obstacle_cost_batch_pallas(robot, grid, cand,
+                                                 0.05, 0.08, interpret=True)
+    monkeypatch.setattr(rp, "_GRID_SCAN_THRESHOLD", 0)
+    q_scan, m_scan = rp.obstacle_cost_batch_pallas(robot, grid, cand,
+                                                   0.05, 0.08, interpret=True)
+    np.testing.assert_allclose(np.asarray(q_scan), np.asarray(q_vec),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_scan), np.asarray(m_vec),
+                               rtol=1e-6, atol=1e-6)
+
+    # per-candidate overlay (MPC form) through the scan as well
+    from tpustomp.world.sdf import CompositeWorld
+    C = cand.shape[0]
+    overlay = AnalyticWorld(
+        sphere_center=jnp.asarray(rng.uniform(-0.5, 0.9, (C, 1, 3)),
+                                  jnp.float32),
+        sphere_radius=jnp.full((C, 1), 0.15, jnp.float32),
+        box_center=jnp.zeros((C, 0, 3), jnp.float32),
+        box_half=jnp.zeros((C, 0, 3), jnp.float32))
+    comp = CompositeWorld(grid=grid, overlay=overlay)
+    q_scan2, m_scan2 = rp.obstacle_cost_batch_pallas(
+        robot, comp, cand, 0.05, 0.08, interpret=True)
+    monkeypatch.setattr(rp, "_GRID_SCAN_THRESHOLD", 8_000_000)
+    q_vec2, m_vec2 = rp.obstacle_cost_batch_pallas(
+        robot, comp, cand, 0.05, 0.08, interpret=True)
+    np.testing.assert_allclose(np.asarray(q_scan2), np.asarray(q_vec2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_scan2), np.asarray(m_vec2),
+                               rtol=1e-6, atol=1e-6)

@@ -30,6 +30,8 @@ _DEFAULT_SCENE = {  # BASELINE config-2 tabletop (bench/common.py)
     "robot": "arm_7dof",
     "boxes": [{"center": [0.6, 0.0, 0.2], "half": [0.45, 0.6, 0.25]},
               {"center": [0.68, -0.05, 0.62], "half": [0.06, 0.06, 0.18]}],
+    "grid": {"origin": [-0.2, -1.0, 0.0], "shape": [64, 80, 48],
+             "resolution": 0.025},
     "q0": [-0.6, 0.5, 0.0, -0.8, 0.0, -0.5, 0.0],
     "qN": [0.4, 0.5, 0.0, -0.8, 0.0, -0.5, 0.0],
 }
@@ -160,15 +162,20 @@ def _run_batch(doc, robot, world, q0, qN, cfg, args):
 
 
 def _run_mpc(doc, robot, world, q0, qN, cfg, args):
-    """BASELINE config 5: moving-obstacle MPC replanning loop."""
+    """BASELINE config 5: moving-obstacle MPC replanning loop.
+
+    The scene's SPHERES become the per-scenario moving obstacles; its
+    static geometry stays in the world every tick: analytic boxes ride as
+    an AnalyticWorld static part, and with --grid the voxel signed-EDT
+    field rides as the CompositeWorld static grid (engine/mpc._tick_world;
+    round 5 — previously the CLI dropped static geometry and rejected
+    --grid for mpc: runs)."""
     import jax
     import jax.numpy as jnp
 
     from tpustomp.engine import mpc as mpc_mod
-    from tpustomp.world.sdf import AnalyticWorld
+    from tpustomp.world.sdf import AnalyticWorld, GridSDF
 
-    if not isinstance(world, AnalyticWorld):
-        raise SystemExit("mpc: requires an analytic scene (moving obstacles)")
     spec = doc["mpc"]
     n = (args.scenarios if args.scenarios is not None
          else int(spec.get("scenarios", 64)))
@@ -177,14 +184,25 @@ def _run_mpc(doc, robot, world, q0, qN, cfg, args):
     speed = float(spec.get("obstacle_speed", 0.2))
     rng = np.random.default_rng(args.seed)
     d = q0.shape[0]
+    if isinstance(world, GridSDF):
+        static_world = world          # voxel scene -> CompositeWorld grid
+        scene_spheres = np.zeros((0, 3), np.float32)
+        scene_radii = np.zeros((0,), np.float32)
+    else:
+        assert isinstance(world, AnalyticWorld), type(world)
+        static_world = (AnalyticWorld(
+            sphere_center=jnp.zeros((0, 3), jnp.float32),
+            sphere_radius=jnp.zeros((0,), jnp.float32),
+            box_center=world.box_center, box_half=world.box_half)
+            if world.box_half.shape[0] else None)
+        scene_spheres = np.asarray(world.sphere_center, np.float32)
+        scene_radii = np.asarray(world.sphere_radius, np.float32)
     # one moving sphere per scenario, launched toward the workspace center
-    S = max(1, world.sphere_center.shape[0])
+    S = max(1, scene_spheres.shape[0])
     centers = np.tile(np.asarray([[0.9, 0.6, 0.5]], np.float32), (S, 1)) \
-        if world.sphere_center.shape[0] == 0 else np.asarray(
-            world.sphere_center, np.float32)
+        if scene_spheres.shape[0] == 0 else scene_spheres
     radius = np.full((S,), 0.12, np.float32) \
-        if world.sphere_radius.shape[0] == 0 else np.asarray(
-            world.sphere_radius, np.float32)
+        if scene_radii.shape[0] == 0 else scene_radii
 
     def one_state(i):
         key = jax.random.PRNGKey(args.seed + i)
@@ -199,7 +217,8 @@ def _run_mpc(doc, robot, world, q0, qN, cfg, args):
                           *[one_state(i) for i in range(n)])
     t0 = time.perf_counter()
     out_state = mpc_mod.run_mpc_sharded(robot, cfg, states,
-                                        jnp.asarray(radius), ticks, world_dt)
+                                        jnp.asarray(radius), ticks, world_dt,
+                                        static_world=static_world)
     jax.block_until_ready(out_state.q)
     wall = time.perf_counter() - t0
     goal_dist = np.linalg.norm(np.asarray(out_state.q - out_state.qN),

@@ -86,6 +86,30 @@ _SEGMENT_CHECK_SAMPLES = 4
 # of mpc_step / run_mpc / run_mpc_sharded / run_mpc_resilient.
 GOAL_EPS = 0.05
 
+# Goal-annealed exploration (dist, floor): each replan's noise scales by
+# clip(|q − qN|₂ / dist, floor, 1). Without it the episode residual floors
+# at the PI² noise equilibrium — measured ~0.10–0.12 rad inf-norm at
+# σ=0.1–0.25 with 120-tick episodes, i.e. scenarios hover just outside the
+# 0.05 latch forever. Annealing rides the solver's traced per-scenario
+# HyperParams (zero recompilation, zero extra dispatches). Pass
+# goal_anneal=None to disable (pre-round-5 behavior).
+GOAL_ANNEAL = (0.5, 0.1)
+
+
+def _anneal_hyper(cfg: PlannerConfig, q, qN, goal_anneal, axis=None):
+    """Per-scenario HyperParams with distance-annealed noise_scale
+    (scalar for the single path, [B] for the batched path)."""
+    if goal_anneal is None:
+        return None
+    dist, floor = goal_anneal
+    err = jnp.sqrt(jnp.sum((q - qN) ** 2, axis=axis))
+    scale = jnp.clip(err / jnp.float32(dist), jnp.float32(floor),
+                     jnp.float32(1.0))
+    ones = jnp.ones_like(scale)
+    return solver.HyperParams(noise_scale=scale,
+                              h=ones * jnp.float32(cfg.pi2_h),
+                              decay=ones * jnp.float32(cfg.noise.decay))
+
 
 def _update_reached(reached_tick, q_next, qN, steps, goal_eps, axis=None):
     """First-reach bookkeeping: latch the tick index when |q−qN|∞ first
@@ -129,7 +153,8 @@ def _tick_world(centers, sphere_radius, static_world):
 
 def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
              sphere_radius: jnp.ndarray, world_dt: float,
-             static_world=None, goal_eps: float = GOAL_EPS) -> MPCState:
+             static_world=None, goal_eps: float = GOAL_EPS,
+             goal_anneal: tuple | None = GOAL_ANNEAL) -> MPCState:
     """One control tick: move world, execute one waypoint, replan."""
     # 1. world advances
     centers = state.sphere_center + state.sphere_vel * world_dt
@@ -141,8 +166,9 @@ def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
     # 3+4. warm start and replan from the advanced state
     theta0 = _shift_warm_start(state.theta, state.qN)
     key, sub = jax.random.split(state.key)
+    hyper = _anneal_hyper(cfg, q_next, state.qN, goal_anneal)
     sol = solver.solve(robot, world, None, cfg, ops, q_next, state.qN, sub,
-                       theta0=theta0)
+                       theta0=theta0, hyper=hyper)
     theta_new = sol.trajectory[1:-1]
 
     # collision check of the executed MOTION, not just the arrival tick:
@@ -169,13 +195,14 @@ def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
 
 def run_mpc(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
             sphere_radius, num_ticks: int, world_dt: float,
-            static_world=None, goal_eps: float = GOAL_EPS) -> MPCState:
+            static_world=None, goal_eps: float = GOAL_EPS,
+            goal_anneal: tuple | None = GOAL_ANNEAL) -> MPCState:
     """Run `num_ticks` control steps (lax.scan; jit/vmap/shard-able)."""
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
 
     def tick(s, _):
         return mpc_step(robot, cfg, ops, s, sphere_radius, world_dt,
-                        static_world, goal_eps), None
+                        static_world, goal_eps, goal_anneal), None
 
     state, _ = jax.lax.scan(tick, state, None, length=num_ticks)
     return state
@@ -208,7 +235,8 @@ def _tick_world_batch(centers, sphere_radius, static_world):
 def mpc_step_batch(robot: RobotSpec, cfg: PlannerConfig, ops,
                    state: MPCState, sphere_radius: jnp.ndarray,
                    world_dt: float, static_world=None,
-                   goal_eps: float = GOAL_EPS) -> MPCState:
+                   goal_eps: float = GOAL_EPS,
+                   goal_anneal: tuple | None = GOAL_ANNEAL) -> MPCState:
     """Batched `mpc_step`: state leaves carry a leading [B] scenario axis.
 
     Per-scenario semantics match mpc_step; the replan goes through
@@ -226,8 +254,10 @@ def mpc_step_batch(robot: RobotSpec, cfg: PlannerConfig, ops,
     theta0 = jax.vmap(_shift_warm_start)(state.theta, state.qN)
     keys = jax.vmap(jax.random.split)(state.key)
     key, sub = keys[:, 0], keys[:, 1]
+    hyper = _anneal_hyper(cfg, q_next, state.qN, goal_anneal, axis=1)
     sol = solver.solve_batch(robot, worldB, None, cfg, ops, q_next, state.qN,
-                             sub, theta0=theta0, world_batched=True)
+                             sub, theta0=theta0, world_batched=True,
+                             hyper=hyper)
     theta_new = sol.trajectory[:, 1:-1]
 
     # executed-segment collision check (see mpc_step), vmapped per scenario
@@ -256,13 +286,14 @@ def mpc_step_batch(robot: RobotSpec, cfg: PlannerConfig, ops,
 
 def run_mpc_batch(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                   sphere_radius, num_ticks: int, world_dt: float,
-                  static_world=None, goal_eps: float = GOAL_EPS) -> MPCState:
+                  static_world=None, goal_eps: float = GOAL_EPS,
+                  goal_anneal: tuple | None = GOAL_ANNEAL) -> MPCState:
     """Batched run_mpc: state leaves carry a leading [B] scenario axis."""
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
 
     def tick(s, _):
         return mpc_step_batch(robot, cfg, ops, s, sphere_radius, world_dt,
-                              static_world, goal_eps), None
+                              static_world, goal_eps, goal_anneal), None
 
     state, _ = jax.lax.scan(tick, state, None, length=num_ticks)
     return state
@@ -270,7 +301,8 @@ def run_mpc_batch(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
 
 def _run_batch_select(robot, cfg: PlannerConfig, state, sphere_radius,
                       num_ticks: int, world_dt: float, static_world,
-                      goal_eps: float = GOAL_EPS):
+                      goal_eps: float = GOAL_EPS,
+                      goal_anneal: tuple | None = GOAL_ANNEAL):
     """Batched-execution selector — the ONE code path for batched MPC runs.
 
     STOMP scenarios replan through the flat batched solver (one fused
@@ -287,22 +319,23 @@ def _run_batch_select(robot, cfg: PlannerConfig, state, sphere_radius,
             cfg.obstacle_backend != "pallas"
             or getattr(robot, "body_counts", None) is not None):
         return run_mpc_batch(robot, cfg, state, sphere_radius, num_ticks,
-                             world_dt, static_world, goal_eps)
+                             world_dt, static_world, goal_eps, goal_anneal)
     return jax.vmap(
         lambda s: run_mpc(robot, cfg, s, sphere_radius, num_ticks,
-                          world_dt, static_world, goal_eps)
+                          world_dt, static_world, goal_eps, goal_anneal)
     )(state)
 
 
 @functools.lru_cache(maxsize=8)
 def _sharded_mpc(cfg: PlannerConfig, mesh, num_ticks: int, world_dt: float,
-                 goal_eps: float):
+                 goal_eps: float, goal_anneal: tuple | None):
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
     replicated = NamedSharding(mesh, P())
 
     def run(robot, state, sphere_radius, static_world):
         return _run_batch_select(robot, cfg, state, sphere_radius, num_ticks,
-                                 world_dt, static_world, goal_eps)
+                                 world_dt, static_world, goal_eps,
+                                 goal_anneal)
 
     return jax.jit(run, in_shardings=(replicated, sharding, replicated,
                                       replicated),
@@ -322,7 +355,8 @@ def _probe_world(static_world):
 def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                     sphere_radius, num_ticks: int, world_dt: float,
                     mesh=None, static_world=None,
-                    goal_eps: float = GOAL_EPS) -> MPCState:
+                    goal_eps: float = GOAL_EPS,
+                    goal_anneal: tuple | None = GOAL_ANNEAL) -> MPCState:
     """Batched MPC over the scenario mesh (BASELINE config 5).
 
     `state` leaves carry a leading [batch] axis (process-local shard in
@@ -336,7 +370,7 @@ def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     cfg = resolve_backend(cfg, robot, _probe_world(static_world),
                           batch_hint=jax.tree.leaves(state)[0].shape[0])
     state = jax.tree.map(lambda x: _shard_batch(np.asarray(x), mesh), state)
-    fn = _sharded_mpc(cfg, mesh, num_ticks, world_dt, goal_eps)
+    fn = _sharded_mpc(cfg, mesh, num_ticks, world_dt, goal_eps, goal_anneal)
     return fn(robot, state, jnp.asarray(sphere_radius, jnp.float32),
               static_world)
 
@@ -370,6 +404,7 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                       mesh=None, chunk_ticks: int | None = None,
                       max_retries: int = 2, static_world=None,
                       goal_eps: float = GOAL_EPS,
+                      goal_anneal: tuple | None = GOAL_ANNEAL,
                       _fault_hook=None) -> MPCState:
     """Failure-detecting MPC driver (SURVEY §6 failure-recovery row).
 
@@ -417,7 +452,7 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
         # the identical kernel/layout a never-failed one ran.
         return jax.jit(lambda sub: _run_batch_select(
             robot, cfg, sub, radius, ticks, world_dt, static_world,
-            goal_eps))
+            goal_eps, goal_anneal))
 
     # np.array (copy): device views are read-only, and the snapshot must not
     # alias buffers the next dispatch may donate
@@ -436,7 +471,8 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                 out = to_host(run_mpc_sharded(robot, cfg, snapshot, radius,
                                               ticks, world_dt, mesh=mesh,
                                               static_world=static_world,
-                                              goal_eps=goal_eps))
+                                              goal_eps=goal_eps,
+                                              goal_anneal=goal_anneal))
                 break
             except _RetryableError as e:
                 print(f"[tpustomp.mpc] chunk {chunk_idx} attempt {attempt} "

@@ -794,6 +794,16 @@ def _tile_flags(row_active, C: int, tile: int):
     return jnp.any(row_active.reshape(-1, tile), axis=1).astype(jnp.int32)
 
 
+# Above this many (body, candidate, timestep) samples the grid tail scans
+# over the body axis instead of one vectorized gather: the packed-table
+# gather otherwise materializes a [samples, 8] intermediate (and XLA's
+# fusion buffering multiplies it) — B=1024 config-4 shape = 70M samples
+# = 2.2 GB per copy, observed OOM at 36 GB requested. Scanning bodies caps
+# the live intermediate at samples/n_bodies while issuing the same total
+# index count (the gather is per-index issue-bound, so wall time is flat).
+_GRID_SCAN_THRESHOLD = 8_000_000
+
+
 def _grid_finish(world, kin, dt: float, clearance: float, body_radius):
     """XLA tail of the hybrid grid path: trilinear SDF → potential → reduce.
 
@@ -805,15 +815,42 @@ def _grid_finish(world, kin, dt: float, clearance: float, body_radius):
 
     pos = jnp.moveaxis(kin[:, :3], 1, -1)            # [B, C, T, 3]
     speed = kin[:, 3]                                # [B, C, T]
-    if (isinstance(world, CompositeWorld)
-            and world.overlay.sphere_center.ndim == 3):
-        # per-candidate overlay (batched MPC): shared grid, [C, S, ...]
-        # overlay leaves vmapped over the candidate axis
-        d_grid = sdf(world.grid, pos)
-        d_ov = jax.vmap(sdf, in_axes=(0, 1), out_axes=1)(world.overlay, pos)
-        dist = jnp.minimum(d_grid, d_ov)             # [B, C, T]
-    else:
-        dist = sdf(world, pos)                       # [B, C, T]
+    per_cand = (isinstance(world, CompositeWorld)
+                and world.overlay.sphere_center.ndim == 3)
+
+    def dist_of(p, cand_axis):
+        """signed distance of p ([..., C, T, 3] with the candidate axis at
+        `cand_axis`) under the possibly per-candidate world."""
+        if per_cand:
+            d_grid = sdf(world.grid, p)
+            d_ov = jax.vmap(sdf, in_axes=(0, cand_axis),
+                            out_axes=cand_axis)(world.overlay, p)
+            return jnp.minimum(d_grid, d_ov)
+        return sdf(world, p)
+
+    n_samples = pos.shape[0] * pos.shape[1] * pos.shape[2]
+    if n_samples > _GRID_SCAN_THRESHOLD:
+        CT = pos.shape[1:3]
+
+        def step(carry, inp):
+            q_acc, m_acc = carry
+            p_b, s_b, r_b = inp                      # [C, T, 3], [C, T], []
+            dist = dist_of(p_b, 0)                   # [C, T]
+            d_sig = dist - r_b - clearance
+            pot = jnp.where(
+                d_sig < 0.0, -d_sig + 0.5 * clearance,
+                jnp.where(d_sig <= clearance,
+                          (d_sig - clearance) ** 2 / (2.0 * clearance),
+                          0.0))
+            return (q_acc + pot * s_b,
+                    jnp.minimum(m_acc, dist - r_b)), None
+
+        init = (jnp.zeros(CT, pos.dtype), jnp.full(CT, jnp.inf, pos.dtype))
+        (q_sum, margin_row), _ = jax.lax.scan(
+            step, init, (pos, speed, body_radius))
+        return q_sum * dt, margin_row
+
+    dist = dist_of(pos, 1)                           # [B, C, T]
     radius = body_radius[:, None, None]
     d_sig = dist - radius - clearance
     pot = jnp.where(
