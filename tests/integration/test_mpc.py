@@ -218,3 +218,43 @@ def test_mpc_sharded_grid_static_world_runs():
                               static_world=grid)
     assert np.all(np.asarray(out.steps) == 4)
     assert np.all(np.isfinite(np.asarray(out.theta)))
+
+
+def test_goal_flush_reaches_exactly_and_yields_to_obstacles():
+    """Near-goal flush guard (mpc.GOAL_FLUSH): within the radius the
+    warm-start flush executes (reaching the goal EXACTLY instead of the
+    replan's re-spread plateau — round-5 root cause), and the guard yields
+    to the replanner the moment the flush plan would collide."""
+    robot = model.planar_2r(body_radius=0.05)
+    cfg = _cfg()
+    center = np.array([[50.0, 50.0, 0.0]], np.float32)
+    vel = np.zeros((1, 3), np.float32)
+    radius = jnp.asarray([0.1], jnp.float32)
+    state = mpc.init_mpc(robot, cfg, Q0, QN, center, vel,
+                         jax.random.PRNGKey(3))
+    on = mpc.run_mpc(robot, cfg, state, radius, num_ticks=60, world_dt=0.1)
+    off = mpc.run_mpc(robot, cfg, state, radius, num_ticks=60, world_dt=0.1,
+                      goal_flush=None)
+    r_on = float(jnp.max(jnp.abs(on.q - on.qN)))
+    r_off = float(jnp.max(jnp.abs(off.q - off.qN)))
+    # flush converges exactly (the min-jerk plan fully flushes in N+slack
+    # ticks); the replan-only path is no better
+    assert r_on == 0.0, r_on
+    assert r_on <= r_off + 1e-6
+
+    # safety gate, tested at the selection seam: the flush is taken only
+    # when near the goal AND its plan clears the collision threshold; a
+    # failing margin hands back the replanned trajectory. (An end-to-end
+    # evasion test at the goal is not meaningful: with endpoints clamped
+    # at qN, NO endpoint-constrained planner — flush or replan — can evade
+    # an obstacle that engulfs the goal configuration itself; verified:
+    # both paths produce identical collisions there.)
+    theta_r = jnp.ones((4, 2)) * 7.0
+    theta_f = jnp.zeros((4, 2))
+    near, far = jnp.zeros(2), jnp.asarray([3.0, 0.0])
+    goal = jnp.zeros(2)
+    pick = lambda q, m: np.asarray(mpc._apply_flush(
+        theta_r, theta_f, q, goal, jnp.float32(m), cfg, 0.5))
+    np.testing.assert_array_equal(pick(near, 0.2), np.asarray(theta_f))
+    np.testing.assert_array_equal(pick(near, -0.01), np.asarray(theta_r))
+    np.testing.assert_array_equal(pick(far, 0.2), np.asarray(theta_r))

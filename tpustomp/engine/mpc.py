@@ -86,29 +86,63 @@ _SEGMENT_CHECK_SAMPLES = 4
 # of mpc_step / run_mpc / run_mpc_sharded / run_mpc_resilient.
 GOAL_EPS = 0.05
 
-# Goal-annealed exploration (dist, floor): each replan's noise scales by
-# clip(|q − qN|₂ / dist, floor, 1). Without it the episode residual floors
-# at the PI² noise equilibrium — measured ~0.10–0.12 rad inf-norm at
-# σ=0.1–0.25 with 120-tick episodes, i.e. scenarios hover just outside the
-# 0.05 latch forever. Annealing rides the solver's traced per-scenario
-# HyperParams (zero recompilation, zero extra dispatches). Pass
-# goal_anneal=None to disable (pre-round-5 behavior).
-GOAL_ANNEAL = (0.5, 0.1)
+# Near-goal flush guard (radius, rad 2-norm): within it, KEEP EXECUTING the
+# warm-start flush plan whenever that plan is collision-free, instead of
+# the replan's output. Why (round-5 root cause, measured): the replan
+# re-spreads the remaining motion over the FULL fixed horizon — a
+# lower-smoothness-cost trajectory than the flushing one — so each tick's
+# "better" plan moves waypoint 1 only O(s(1/N)) of the gap and episodes
+# stall at ~0.10-0.15 rad forever; with replanning suppressed the flush
+# reaches the goal EXACTLY in <= N+slack ticks (traced per-tick on the
+# static-tabletop scene: max_iterations=1 hits 0.0 by tick 60 while the
+# 8-iteration replan plateaus at 0.087). The guard is per-scenario and
+# safety-gated: the moment the flush plan would collide (moving obstacle
+# incoming) its margin check fails and the replanned trajectory is used.
+# Noise-annealing near the goal was tried first and measured WORSE
+# (reached 0.001 vs 0.048 at B=1024x120 ticks) — the stall was never a
+# noise-equilibrium problem. Pass goal_flush=None to disable.
+GOAL_FLUSH = 0.5
 
 
-def _anneal_hyper(cfg: PlannerConfig, q, qN, goal_anneal, axis=None):
-    """Per-scenario HyperParams with distance-annealed noise_scale
-    (scalar for the single path, [B] for the batched path)."""
-    if goal_anneal is None:
-        return None
-    dist, floor = goal_anneal
-    err = jnp.sqrt(jnp.sum((q - qN) ** 2, axis=axis))
-    scale = jnp.clip(err / jnp.float32(dist), jnp.float32(floor),
-                     jnp.float32(1.0))
-    ones = jnp.ones_like(scale)
-    return solver.HyperParams(noise_scale=scale,
-                              h=ones * jnp.float32(cfg.pi2_h),
-                              decay=ones * jnp.float32(cfg.noise.decay))
+def _flush_margin(robot, world, q_next, qN, theta0, cfg: PlannerConfig):
+    """Min collision margin of the warm-start flush plan (one trajectory,
+    XLA path — ~1/(1+K) of the replan's own evaluation work)."""
+    from tpustomp.costs.obstacle import obstacle_cost
+
+    full = jnp.concatenate([q_next[None], theta0, qN[None]], axis=0)
+    _, margin = obstacle_cost(robot, world, full, cfg.dt,
+                              cfg.collision_clearance)
+    return margin
+
+
+def _flush_margin_batch(robot, worldB, q_next, qN, theta0,
+                        cfg: PlannerConfig, waxes0):
+    """Batched flush-plan margins [B] — through the fused kernel when the
+    solve itself runs there (one B-row launch ≈ 1/(1+K) of the replan's
+    kernel work; the first XLA-path cut cost +80% wall at B=1024 because
+    the unfused FK chain is what the kernel exists to avoid)."""
+    fulls = jnp.concatenate(
+        [q_next[:, None, :], theta0, qN[:, None, :]], axis=1)   # [B, T, d]
+    if (cfg.obstacle_backend == "pallas"
+            and getattr(robot, "body_counts", None) is not None):
+        from tpustomp.kernels.rollout_pallas import obstacle_cost_batch_pallas
+        _, margin = obstacle_cost_batch_pallas(
+            robot, worldB, fulls, cfg.dt, cfg.collision_clearance,
+            interpret=cfg.pallas_interpret)
+        return margin
+    return jax.vmap(
+        lambda qn, g, th, w: _flush_margin(robot, w, qn, g, th, cfg),
+        in_axes=(0, 0, 0, waxes0))(q_next, qN, theta0, worldB)
+
+
+def _apply_flush(theta_replan, theta0, q_next, qN, margin, cfg,
+                 goal_flush, axis=None):
+    """Select flush vs replan per scenario (axis=1 for [B, d] batches)."""
+    err = jnp.sqrt(jnp.sum((q_next - qN) ** 2, axis=axis))
+    use = (err < jnp.float32(goal_flush)) & (margin
+                                             > cfg.collision_threshold)
+    shape = use.shape + (1,) * (theta_replan.ndim - use.ndim)
+    return jnp.where(use.reshape(shape), theta0, theta_replan)
 
 
 def _update_reached(reached_tick, q_next, qN, steps, goal_eps, axis=None):
@@ -154,7 +188,7 @@ def _tick_world(centers, sphere_radius, static_world):
 def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
              sphere_radius: jnp.ndarray, world_dt: float,
              static_world=None, goal_eps: float = GOAL_EPS,
-             goal_anneal: tuple | None = GOAL_ANNEAL) -> MPCState:
+             goal_flush: float | None = GOAL_FLUSH) -> MPCState:
     """One control tick: move world, execute one waypoint, replan."""
     # 1. world advances
     centers = state.sphere_center + state.sphere_vel * world_dt
@@ -166,10 +200,13 @@ def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
     # 3+4. warm start and replan from the advanced state
     theta0 = _shift_warm_start(state.theta, state.qN)
     key, sub = jax.random.split(state.key)
-    hyper = _anneal_hyper(cfg, q_next, state.qN, goal_anneal)
     sol = solver.solve(robot, world, None, cfg, ops, q_next, state.qN, sub,
-                       theta0=theta0, hyper=hyper)
+                       theta0=theta0)
     theta_new = sol.trajectory[1:-1]
+    if goal_flush is not None:
+        fm = _flush_margin(robot, world, q_next, state.qN, theta0, cfg)
+        theta_new = _apply_flush(theta_new, theta0, q_next, state.qN, fm,
+                                 cfg, goal_flush)
 
     # collision check of the executed MOTION, not just the arrival tick:
     # sample the q -> q_next segment so a fast obstacle cannot pass through
@@ -196,13 +233,13 @@ def mpc_step(robot: RobotSpec, cfg: PlannerConfig, ops, state: MPCState,
 def run_mpc(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
             sphere_radius, num_ticks: int, world_dt: float,
             static_world=None, goal_eps: float = GOAL_EPS,
-            goal_anneal: tuple | None = GOAL_ANNEAL) -> MPCState:
+            goal_flush: float | None = GOAL_FLUSH) -> MPCState:
     """Run `num_ticks` control steps (lax.scan; jit/vmap/shard-able)."""
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
 
     def tick(s, _):
         return mpc_step(robot, cfg, ops, s, sphere_radius, world_dt,
-                        static_world, goal_eps, goal_anneal), None
+                        static_world, goal_eps, goal_flush), None
 
     state, _ = jax.lax.scan(tick, state, None, length=num_ticks)
     return state
@@ -236,7 +273,7 @@ def mpc_step_batch(robot: RobotSpec, cfg: PlannerConfig, ops,
                    state: MPCState, sphere_radius: jnp.ndarray,
                    world_dt: float, static_world=None,
                    goal_eps: float = GOAL_EPS,
-                   goal_anneal: tuple | None = GOAL_ANNEAL) -> MPCState:
+                   goal_flush: float | None = GOAL_FLUSH) -> MPCState:
     """Batched `mpc_step`: state leaves carry a leading [B] scenario axis.
 
     Per-scenario semantics match mpc_step; the replan goes through
@@ -254,11 +291,16 @@ def mpc_step_batch(robot: RobotSpec, cfg: PlannerConfig, ops,
     theta0 = jax.vmap(_shift_warm_start)(state.theta, state.qN)
     keys = jax.vmap(jax.random.split)(state.key)
     key, sub = keys[:, 0], keys[:, 1]
-    hyper = _anneal_hyper(cfg, q_next, state.qN, goal_anneal, axis=1)
     sol = solver.solve_batch(robot, worldB, None, cfg, ops, q_next, state.qN,
-                             sub, theta0=theta0, world_batched=True,
-                             hyper=hyper)
+                             sub, theta0=theta0, world_batched=True)
     theta_new = sol.trajectory[:, 1:-1]
+    if goal_flush is not None:
+        waxes0 = (CompositeWorld(grid=None, overlay=0)
+                  if isinstance(worldB, CompositeWorld) else 0)
+        fm = _flush_margin_batch(robot, worldB, q_next, state.qN, theta0,
+                                 cfg, waxes0)
+        theta_new = _apply_flush(theta_new, theta0, q_next, state.qN, fm,
+                                 cfg, goal_flush, axis=1)
 
     # executed-segment collision check (see mpc_step), vmapped per scenario
     alphas = jnp.linspace(0.0, 1.0, _SEGMENT_CHECK_SAMPLES + 1)[1:]
@@ -287,13 +329,13 @@ def mpc_step_batch(robot: RobotSpec, cfg: PlannerConfig, ops,
 def run_mpc_batch(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                   sphere_radius, num_ticks: int, world_dt: float,
                   static_world=None, goal_eps: float = GOAL_EPS,
-                  goal_anneal: tuple | None = GOAL_ANNEAL) -> MPCState:
+                  goal_flush: float | None = GOAL_FLUSH) -> MPCState:
     """Batched run_mpc: state leaves carry a leading [B] scenario axis."""
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
 
     def tick(s, _):
         return mpc_step_batch(robot, cfg, ops, s, sphere_radius, world_dt,
-                              static_world, goal_eps, goal_anneal), None
+                              static_world, goal_eps, goal_flush), None
 
     state, _ = jax.lax.scan(tick, state, None, length=num_ticks)
     return state
@@ -302,7 +344,7 @@ def run_mpc_batch(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
 def _run_batch_select(robot, cfg: PlannerConfig, state, sphere_radius,
                       num_ticks: int, world_dt: float, static_world,
                       goal_eps: float = GOAL_EPS,
-                      goal_anneal: tuple | None = GOAL_ANNEAL):
+                      goal_flush: float | None = GOAL_FLUSH):
     """Batched-execution selector — the ONE code path for batched MPC runs.
 
     STOMP scenarios replan through the flat batched solver (one fused
@@ -319,23 +361,23 @@ def _run_batch_select(robot, cfg: PlannerConfig, state, sphere_radius,
             cfg.obstacle_backend != "pallas"
             or getattr(robot, "body_counts", None) is not None):
         return run_mpc_batch(robot, cfg, state, sphere_radius, num_ticks,
-                             world_dt, static_world, goal_eps, goal_anneal)
+                             world_dt, static_world, goal_eps, goal_flush)
     return jax.vmap(
         lambda s: run_mpc(robot, cfg, s, sphere_radius, num_ticks,
-                          world_dt, static_world, goal_eps, goal_anneal)
+                          world_dt, static_world, goal_eps, goal_flush)
     )(state)
 
 
 @functools.lru_cache(maxsize=8)
 def _sharded_mpc(cfg: PlannerConfig, mesh, num_ticks: int, world_dt: float,
-                 goal_eps: float, goal_anneal: tuple | None):
+                 goal_eps: float, goal_flush: float | None):
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS))
     replicated = NamedSharding(mesh, P())
 
     def run(robot, state, sphere_radius, static_world):
         return _run_batch_select(robot, cfg, state, sphere_radius, num_ticks,
                                  world_dt, static_world, goal_eps,
-                                 goal_anneal)
+                                 goal_flush)
 
     return jax.jit(run, in_shardings=(replicated, sharding, replicated,
                                       replicated),
@@ -356,7 +398,7 @@ def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                     sphere_radius, num_ticks: int, world_dt: float,
                     mesh=None, static_world=None,
                     goal_eps: float = GOAL_EPS,
-                    goal_anneal: tuple | None = GOAL_ANNEAL) -> MPCState:
+                    goal_flush: float | None = GOAL_FLUSH) -> MPCState:
     """Batched MPC over the scenario mesh (BASELINE config 5).
 
     `state` leaves carry a leading [batch] axis (process-local shard in
@@ -370,7 +412,7 @@ def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     cfg = resolve_backend(cfg, robot, _probe_world(static_world),
                           batch_hint=jax.tree.leaves(state)[0].shape[0])
     state = jax.tree.map(lambda x: _shard_batch(np.asarray(x), mesh), state)
-    fn = _sharded_mpc(cfg, mesh, num_ticks, world_dt, goal_eps, goal_anneal)
+    fn = _sharded_mpc(cfg, mesh, num_ticks, world_dt, goal_eps, goal_flush)
     return fn(robot, state, jnp.asarray(sphere_radius, jnp.float32),
               static_world)
 
@@ -404,7 +446,7 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                       mesh=None, chunk_ticks: int | None = None,
                       max_retries: int = 2, static_world=None,
                       goal_eps: float = GOAL_EPS,
-                      goal_anneal: tuple | None = GOAL_ANNEAL,
+                      goal_flush: float | None = GOAL_FLUSH,
                       _fault_hook=None) -> MPCState:
     """Failure-detecting MPC driver (SURVEY §6 failure-recovery row).
 
@@ -452,7 +494,7 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
         # the identical kernel/layout a never-failed one ran.
         return jax.jit(lambda sub: _run_batch_select(
             robot, cfg, sub, radius, ticks, world_dt, static_world,
-            goal_eps, goal_anneal))
+            goal_eps, goal_flush))
 
     # np.array (copy): device views are read-only, and the snapshot must not
     # alias buffers the next dispatch may donate
@@ -472,7 +514,7 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                                               ticks, world_dt, mesh=mesh,
                                               static_world=static_world,
                                               goal_eps=goal_eps,
-                                              goal_anneal=goal_anneal))
+                                              goal_flush=goal_flush))
                 break
             except _RetryableError as e:
                 print(f"[tpustomp.mpc] chunk {chunk_idx} attempt {attempt} "
