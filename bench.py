@@ -170,20 +170,22 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False,
             obstacle=1.0, smoothness=0.1, torque=torque_weight))
     constraints = None
     if constrained:
-        from bench.experiment_suite import sample_problems, upright_filter
         from tpustomp.costs.constraints import OrientationConstraint
+        # This row measures the constraint-EVALUATION cost as an
+        # EQUAL-WORK comparison: both arms run exactly `max_iterations`
+        # solver iterations (cf-termination disabled), same problems, same
+        # noise; the only difference is the cone cost riding the fused
+        # path. Convergence-rate effects are thereby excluded — those are
+        # task-level questions answered by the 125-problem tradeoff curve
+        # (experiment_suite_constrained_125). Two earlier cuts conflated
+        # the two and recorded success 0.0 (the per-timestep min-max
+        # normalization amplifies ANY cross-candidate constraint variance
+        # to obstacle scale, so an endpoint-infeasible cone hijacks the
+        # softmax regardless of weight).
         constraints = OrientationConstraint.make(
             axis_local=(0, 0, 1), target_world=(0, 0, 1),
-            tolerance=0.25, weight=10.0)
-        # clamped endpoints must satisfy the cone THEMSELVES: with the
-        # default tilted nominal pose the endpoint rows drag every interior
-        # waypoint against the constraint and success collapses to 0
-        # (measured) — so the constrained row jitters an upright-feasible
-        # hard problem instead
-        uq0, uqN = sample_problems(robot, world, 1, seed=1,
-                                   config_filter=upright_filter(robot,
-                                                                tol=0.2))
-        q0, qN = uq0[0], uqN[0]
+            tolerance=0.25, weight=0.3)
+        cfg = cfg.replace(max_iterations_after_collision_free=10**6)
     rng = np.random.default_rng(0)
     Q0 = (np.tile(q0, (B, 1)) + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
     QN = (np.tile(qN, (B, 1)) + rng.uniform(-0.03, 0.03, (B, 7))).astype(np.float32)
@@ -258,6 +260,26 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False,
         "mean_iterations": mi,
         "rollouts_per_sec_implied": B * 56 * mi / dt,  # 56 candidates/iter
     }
+    if constrained:
+        # equal-work unconstrained arm (same fixed iteration count)
+        sol0 = plan_batch(robot, world, prob, cfg,
+                          keys=jax.random.split(jax.random.PRNGKey(0), B))
+        _ = float(jnp.sum(sol0.cost))
+        ts0 = []
+        for i in range(1, n + 1):
+            t0 = time.perf_counter()
+            sol0 = plan_batch(robot, world, prob, cfg,
+                              keys=jax.random.split(jax.random.PRNGKey(i),
+                                                    B))
+            _ = float(jnp.sum(sol0.cost))
+            ts0.append(time.perf_counter() - t0)
+        dt0 = float(np.median(ts0))
+        res["equal_work_iterations"] = int(cfg.max_iterations)
+        res["unconstrained_solves_per_sec_median"] = B / dt0
+        res["constraint_eval_overhead_pct"] = 100.0 * (dt - dt0) / dt0
+        res["note"] = ("equal-work comparison: both arms run exactly "
+                       "max_iterations solver iterations; overhead = the "
+                       "EE-frame cone tail on the fused path")
     log(f"solves/s B={B} retry={retry} swept={swept}: {res}")
     return res
 
