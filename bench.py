@@ -326,12 +326,15 @@ def main():
                 1024, retry=True)
             details["throughput_config4_B1024_swept"] = solves_per_sec(
                 1024, swept=True)
+            # grid rows: the gather tail puts a B=1024 solve at ~43 s;
+            # fewer repeats keep the record run bounded (still
+            # {median,min,max,n})
             details["throughput_config4_B256_grid"] = solves_per_sec(
-                256, grid=True)
+                256, grid=True, n=3)
             details["throughput_config4_B256_torque"] = solves_per_sec(
                 256, torque_weight=0.005)
             details["throughput_config4_B1024_grid"] = solves_per_sec(
-                1024, grid=True)
+                1024, grid=True, n=2)
             details["throughput_config4_B1024_grid_decomposed"] = \
                 solves_per_sec(1024, grid="decomposed")
             # constrained vs its like-for-like control is the _swept row
