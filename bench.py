@@ -111,7 +111,7 @@ def headline(backend="auto", grid=False):
 
 
 def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False,
-                   constrained=False, torque_weight=0.0):
+                   constrained=False, torque_weight=0.0, prng="threefry"):
     """BASELINE metric 3: solves/s at the config-4 shape (B scenarios vmapped
     on one chip, fused backend, full solve-to-termination workload).
 
@@ -168,6 +168,14 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False,
         from tpustomp.api.config import CostWeights
         cfg = cfg.replace(weights=CostWeights(
             obstacle=1.0, smoothness=0.1, torque=torque_weight))
+    if prng != "threefry":
+        # opt-in hardware-RNG noise stream (NoiseConfig.prng_impl="rbg"):
+        # same distribution, different bits; measured step -9% at B=256
+        # (propose 0.29 -> 0.12 ms — docs/PERFORMANCE.md round 5). The
+        # delta vs the matching threefry row IS the RNG cost.
+        import dataclasses
+        cfg = cfg.replace(noise=dataclasses.replace(cfg.noise,
+                                                    prng_impl=prng))
     constraints = None
     if constrained:
         from tpustomp.costs.constraints import OrientationConstraint
@@ -321,6 +329,8 @@ def main():
             log(f"rollouts/s bench failed: {e}")
         try:
             details["throughput_config4_B256"] = solves_per_sec(256)
+            details["throughput_config4_B256_rbg"] = solves_per_sec(
+                256, prng="rbg")
             details["throughput_config4_B1024"] = solves_per_sec(1024)
             details["throughput_config4_B1024_full_success"] = solves_per_sec(
                 1024, retry=True)

@@ -18,6 +18,45 @@ import jax
 import jax.numpy as jnp
 
 
+def _key_words(keys: jax.Array) -> jnp.ndarray:
+    """Key data of a [B]-batch of keys (typed or raw uint32) as [B, W]."""
+    if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+        return jax.vmap(jax.random.key_data)(keys)
+    return keys
+
+
+def rbg_block_key(keys: jax.Array) -> jax.Array:
+    """Fold a batch of per-scenario threefry keys into ONE rbg draw key.
+
+    Why a single key + one block draw instead of vmapping an rbg draw over
+    per-scenario keys: XLA's RngBitGenerator under ``vmap`` generates the
+    whole batch from the LEADING key only (measured on CPU and TPU:
+    perturbing keys[0] changes every row's draw; perturbing keys[i>0]
+    changes nothing). In the batched solver that is not just a parity
+    wrinkle but a correctness trap — finished scenarios' keys freeze under
+    the done mask, so a vmapped rbg draw re-issues the SAME noise block to
+    every still-active scenario from the moment scenario 0 terminates.
+    Measured as a systematic success drop at the config-2 default
+    exploration (0.929 -> 0.898 over 12 paired seed-sets, B=256, v5e)
+    before this fold replaced the vmapped draw.
+
+    The fold: XOR-reduce the key words across the batch (changes whenever
+    ANY active scenario's key advances; retry-row reseeds change it),
+    threefry-mix the 2 words up to the 4 an rbg key holds, wrap. The single
+    un-vmapped RngBitGenerator call has well-defined key dependence.
+    Consequence (documented at NoiseConfig.prng_impl): the rbg stream is
+    batch-level — a scenario's noise depends on the whole batch's keys, so
+    per-scenario reproducibility across different batch compositions is
+    deliberately traded for the hardware-RNG speed.
+    """
+    words = _key_words(keys).astype(jnp.uint32)           # [B, W]
+    mixed = jax.lax.reduce(words, jnp.uint32(0),
+                           lambda a, b: jax.lax.bitwise_xor(a, b), (0,))
+    tf = jax.random.wrap_key_data(mixed, impl="threefry2x32")
+    return jax.random.wrap_key_data(
+        jax.random.bits(tf, (4,), jnp.uint32), impl="rbg")
+
+
 def sample_noise(key: jax.Array, L: jnp.ndarray, sigma: jnp.ndarray,
                  num_rollouts: int) -> jnp.ndarray:
     """Draw ε [K, N, d] with per-joint scale sigma [d] (A.3).
@@ -39,7 +78,7 @@ def sample_noise(key: jax.Array, L: jnp.ndarray, sigma: jnp.ndarray,
 
 
 def sample_noise_tm(keys: jax.Array, L: jnp.ndarray, sigma: jnp.ndarray,
-                    num_rollouts: int) -> jnp.ndarray:
+                    num_rollouts: int, impl: str = "threefry") -> jnp.ndarray:
     """Batched TIME-MAJOR draw: keys [B], sigma [B, d] (per-scenario decay
     folded in by the caller) -> ε_tm [N, d, B, K].
 
@@ -51,11 +90,27 @@ def sample_noise_tm(keys: jax.Array, L: jnp.ndarray, sigma: jnp.ndarray,
     out_axes=1 interleaves the scenario axis), where the scenario-major
     layout costs a pathological [B·C, T, d] -> [d, T, B·C] permute
     (~0.57 ms at B=256 on v5e, 14% of HBM bandwidth).
+
+    impl="rbg" (NoiseConfig.prng_impl): ONE hardware-RNG block draw keyed by
+    the XOR-fold of all scenario keys (rbg_block_key above — see its
+    docstring for why vmapping an rbg draw over keys would be wrong). Same
+    distribution and the same L contraction / per-scenario sigma scaling;
+    different bit stream (batch-level, not per-scenario). Measured on v5e
+    at B=256: the [d, B·K, N] draw drops 0.270 -> 0.123 ms, the full
+    time-major step 1.91 -> 1.73 ms (docs/PERFORMANCE.md round 5).
     """
     d = sigma.shape[1]
     N = L.shape[0]
-    z = jax.vmap(lambda k: jax.random.normal(k, (d, num_rollouts, N),
-                                             dtype=L.dtype),
-                 out_axes=1)(keys)                      # [d, B, K, N]
+    B = sigma.shape[0]
+    if impl == "rbg":
+        z = jax.random.normal(rbg_block_key(keys), (d, B, num_rollouts, N),
+                              dtype=L.dtype)
+    elif impl in ("threefry", "threefry2x32"):
+        z = jax.vmap(lambda k: jax.random.normal(k, (d, num_rollouts, N),
+                                                 dtype=L.dtype),
+                     out_axes=1)(keys)                  # [d, B, K, N]
+    else:
+        raise ValueError(
+            f"unknown prng_impl {impl!r} (expected threefry|rbg)")
     eps = jnp.einsum("nm,dbkm->ndbk", L, z)
     return eps * jnp.transpose(sigma)[None, :, :, None]

@@ -628,7 +628,10 @@ def make_step_batch_tm(robot: RobotSpec, world, constraints,
         keys_new, k_noise = splits[:, 0], splits[:, 1]
 
         theta_tm = jnp.transpose(stateB.theta, (1, 2, 0))     # [N, d, B]
-        eps_tm = sample_noise_tm(k_noise, ops.L_sample, sigma, K)
+        # prng_impl="rbg": hardware-RNG block draw (engine/sampling.py —
+        # keys stay threefry; only the z bits come from the folded rbg key)
+        eps_tm = sample_noise_tm(k_noise, ops.L_sample, sigma, K,
+                                 impl=cfg.noise.prng_impl)
         reuse_tm = jnp.transpose(stateB.reuse_theta, (2, 3, 0, 1))
         cand_tm = jnp.concatenate(
             [theta_tm[..., None], theta_tm[..., None] + eps_tm, reuse_tm],
