@@ -112,3 +112,31 @@ def test_sharded_hyper_matches_unsharded():
     np.testing.assert_allclose(np.asarray(sol_sharded.trajectory),
                                np.asarray(sol_ref.trajectory), atol=2e-6)
     assert len(sol_sharded.trajectory.sharding.device_set) == 8
+
+
+def test_sharded_rbg_prng_solves_and_stays_sharded():
+    """NoiseConfig.prng_impl="rbg" under the scenario mesh: the key fold is
+    an add-reduce (partitionable — an xor lax.reduce is rejected by the
+    SPMD partitioner, engine/sampling.rbg_block_key) and XLA partitions the
+    RngBitGenerator output across devices, so the sharded rbg solve
+    compiles, succeeds, and keeps the scenario sharding. Bitwise equality
+    with an unsharded run is NOT asserted: partitioned RBG bits are
+    sharding-dependent by design (the documented batch-level-stream
+    semantics)."""
+    import dataclasses
+
+    batch = 16
+    robot, world, q0, qN, cfg, keys = _setup(batch)
+    cfg = cfg.replace(noise=dataclasses.replace(cfg.noise, prng_impl="rbg"))
+    sol = distributed.plan_sharded(
+        robot, world, ProblemSpec(q0=q0, qN=qN), cfg, keys=np.asarray(keys),
+        mesh=distributed.make_mesh())
+    assert len(sol.trajectory.sharding.device_set) == 8
+    succ = np.asarray(sol.success)
+    assert succ.mean() >= 0.9
+    traj = np.asarray(sol.trajectory)
+    np.testing.assert_allclose(traj[:, 0], q0, atol=1e-6)
+    # goal endpoint up to the shortest-path wrap (wrap_goal, A.1)
+    dgoal = np.mod(traj[:, -1] - qN + np.pi, 2 * np.pi) - np.pi
+    np.testing.assert_allclose(dgoal, 0.0, atol=1e-5)
+    assert np.isfinite(traj).all()

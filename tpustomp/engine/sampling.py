@@ -40,18 +40,22 @@ def rbg_block_key(keys: jax.Array) -> jax.Array:
     exploration (0.929 -> 0.898 over 12 paired seed-sets, B=256, v5e)
     before this fold replaced the vmapped draw.
 
-    The fold: XOR-reduce the key words across the batch (changes whenever
-    ANY active scenario's key advances; retry-row reseeds change it),
-    threefry-mix the 2 words up to the 4 an rbg key holds, wrap. The single
-    un-vmapped RngBitGenerator call has well-defined key dependence.
-    Consequence (documented at NoiseConfig.prng_impl): the rbg stream is
-    batch-level — a scenario's noise depends on the whole batch's keys, so
-    per-scenario reproducibility across different batch compositions is
-    deliberately traded for the hardware-RNG speed.
+    The fold: wraparound-sum the key words across the batch (changes
+    whenever ANY active scenario's key advances; retry-row reseeds change
+    it), threefry-mix the 2 words up to the 4 an rbg key holds, wrap. The
+    single un-vmapped RngBitGenerator call has well-defined key dependence.
+    A uint32 sum rather than XOR because XLA's SPMD partitioner supports
+    add-reductions over a sharded scenario axis but rejects a custom
+    xor-reduce ("Unsupported reduction computation", hit under
+    plan_sharded with explicit out_shardings); mixing quality is owned by
+    the threefry finalizer either way. Consequence (documented at
+    NoiseConfig.prng_impl): the rbg stream is batch-level — a scenario's
+    noise depends on the whole batch's keys, so per-scenario
+    reproducibility across different batch compositions is deliberately
+    traded for the hardware-RNG speed.
     """
     words = _key_words(keys).astype(jnp.uint32)           # [B, W]
-    mixed = jax.lax.reduce(words, jnp.uint32(0),
-                           lambda a, b: jax.lax.bitwise_xor(a, b), (0,))
+    mixed = jnp.sum(words, axis=0, dtype=jnp.uint32)
     tf = jax.random.wrap_key_data(mixed, impl="threefry2x32")
     return jax.random.wrap_key_data(
         jax.random.bits(tf, (4,), jnp.uint32), impl="rbg")
