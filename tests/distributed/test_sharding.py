@@ -114,29 +114,37 @@ def test_sharded_hyper_matches_unsharded():
     assert len(sol_sharded.trajectory.sharding.device_set) == 8
 
 
-def test_sharded_rbg_prng_solves_and_stays_sharded():
-    """NoiseConfig.prng_impl="rbg" under the scenario mesh: the key fold is
-    an add-reduce (partitionable — an xor lax.reduce is rejected by the
-    SPMD partitioner, engine/sampling.rbg_block_key) and XLA partitions the
-    RngBitGenerator output across devices, so the sharded rbg solve
-    compiles, succeeds, and keeps the scenario sharding. Bitwise equality
-    with an unsharded run is NOT asserted: partitioned RBG bits are
-    sharding-dependent by design (the documented batch-level-stream
-    semantics)."""
-    import dataclasses
+def test_sharded_rbg_draw_partitions():
+    """Regression for the fold's SPMD-partitionability: an xor lax.reduce
+    over a SHARDED scenario axis is rejected by XLA's partitioner
+    ("Unsupported reduction computation"), which is why
+    engine/sampling.rbg_block_key uses a uint32 add-fold. This test jits
+    the rbg draw with explicitly sharded keys/sigma and sharded output —
+    the exact configuration that failed — and checks it compiles, keeps
+    the scenario sharding, and honors the per-scenario sigma scale.
+    (An e2e sharded-rbg drive only exercises the branch on TPU, where the
+    pallas tm path is eligible; on the CPU mesh plan_sharded resolves to
+    the xla backend and would silently test threefry.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpustomp.engine.sampling import sample_noise_tm
 
-    batch = 16
-    robot, world, q0, qN, cfg, keys = _setup(batch)
-    cfg = cfg.replace(noise=dataclasses.replace(cfg.noise, prng_impl="rbg"))
-    sol = distributed.plan_sharded(
-        robot, world, ProblemSpec(q0=q0, qN=qN), cfg, keys=np.asarray(keys),
-        mesh=distributed.make_mesh())
-    assert len(sol.trajectory.sharding.device_set) == 8
-    succ = np.asarray(sol.success)
-    assert succ.mean() >= 0.9
-    traj = np.asarray(sol.trajectory)
-    np.testing.assert_allclose(traj[:, 0], q0, atol=1e-6)
-    # goal endpoint up to the shortest-path wrap (wrap_goal, A.1)
-    dgoal = np.mod(traj[:, -1] - qN + np.pi, 2 * np.pi) - np.pi
-    np.testing.assert_allclose(dgoal, 0.0, atol=1e-5)
-    assert np.isfinite(traj).all()
+    mesh = distributed.make_mesh()
+    B, d, K, N = 64, 3, 8, 16
+    keys = jax.device_put(jax.random.split(jax.random.PRNGKey(0), B),
+                          NamedSharding(mesh, P(distributed.SCENARIO_AXIS)))
+    sigma = jax.device_put(
+        jnp.concatenate([jnp.full((B // 2, d), 0.1),
+                         jnp.full((B // 2, d), 0.4)]),
+        NamedSharding(mesh, P(distributed.SCENARIO_AXIS)))
+    L = jnp.eye(N)
+    f = jax.jit(lambda k, s: sample_noise_tm(k, L, s, K, impl="rbg"),
+                out_shardings=NamedSharding(
+                    mesh, P(None, None, distributed.SCENARIO_AXIS, None)))
+    eps = f(keys, sigma)                                   # [N, d, B, K]
+    assert len(eps.sharding.device_set) == 8
+    e = np.asarray(eps)
+    assert np.isfinite(e).all()
+    # per-scenario sigma scaling survives the partitioned block draw
+    lo = float(np.std(e[:, :, :B // 2]))
+    hi = float(np.std(e[:, :, B // 2:]))
+    assert 2.5 < hi / lo < 5.5, (lo, hi)

@@ -100,13 +100,42 @@ def test_random_config_solves_with_invariants(seed):
     # iteration count inside the budget
     assert 0 < int(sol.iterations) <= cfg.max_iterations
 
+    # prng_impl="rbg" only has an effect on the batched time-major pallas
+    # path (solver.make_step_batch_tm) — the single-scenario plan() above
+    # runs threefry regardless. For the sampled rbg configs, ALSO drive the
+    # path where the flag is live (interpret-mode kernel on CPU) and hold
+    # the same invariants there.
+    if (cfg.noise.prng_impl == "rbg" and cfg.mode == "stomp"
+            and cfg.weights.torque == 0.0):
+        from tpustomp.api.plan import plan_batch
+        from tpustomp.engine.solver import _tm_step_eligible
+
+        cfg_tm = cfg.replace(obstacle_backend="pallas",
+                             pallas_interpret=True)
+        assert _tm_step_eligible(robot, world, None, cfg_tm)
+        probB = ProblemSpec(q0=jnp.stack([q0, q0 + 0.01]),
+                            qN=jnp.stack([qN, qN - 0.01]))
+        solB = plan_batch(robot, world, probB, cfg_tm,
+                          keys=jax.random.split(jax.random.PRNGKey(seed), 2))
+        trajB = np.asarray(solB.trajectory)
+        assert np.isfinite(trajB).all(), cfg_tm
+        np.testing.assert_allclose(trajB[:, 0], np.asarray(probB.q0),
+                                   atol=1e-6)
+        np.testing.assert_allclose(trajB[:, -1], np.asarray(probB.qN),
+                                   atol=1e-6)
+
 
 def test_fuzz_covers_both_modes_and_impls():
     """Guard the sweep's coverage: the sampled set must include both solver
     modes, both prng impls, and both limit methods (so a refactor of
-    _random_config can't silently shrink what the fuzz exercises)."""
+    _random_config can't silently shrink what the fuzz exercises). The rbg
+    check demands a config that actually REACHES the rbg branch — stomp
+    mode with torque off, the condition under which the per-seed test
+    drives the time-major pallas path where prng_impl is live."""
     cfgs = [_random_config(np.random.default_rng(s)) for s in SEEDS]
     assert {c.mode for c in cfgs} == {"stomp", "chomp"}
+    assert any(c.noise.prng_impl == "rbg" and c.mode == "stomp"
+               and c.weights.torque == 0.0 for c in cfgs)
     assert {c.noise.prng_impl for c in cfgs} == {"threefry", "rbg"}
     assert {c.joint_limit_method for c in cfgs} == {"jacobi", "sequential"}
     assert {c.smoothness.stencil for c in cfgs} == {"fd3", "fd5", "fd7"}

@@ -3,7 +3,7 @@
 "rbg" swaps the time-major batched noise draw's bit source for jax's
 RngBitGenerator (TPU hardware RNG; measured 2.2x faster than threefry on
 the per-iteration z draw — docs/PERFORMANCE.md round 5). Design point
-under test: the draw is ONE block keyed by the XOR-fold of all scenario
+under test: the draw is ONE block keyed by the add-fold of all scenario
 keys (engine/sampling.rbg_block_key), NOT a vmapped per-key rbg draw —
 XLA's RngBitGenerator under vmap generates the whole batch from the
 leading key only, which in the solver (where finished scenarios' keys
@@ -79,16 +79,24 @@ def test_rbg_noise_covariance_and_sigma_scaling():
 
 
 def test_rbg_solve_end_to_end():
+    """Forces the time-major pallas path (interpret mode on CPU): the rbg
+    branch lives ONLY in make_step_batch_tm's draw, so a plain CPU
+    plan_batch (xla backend) would silently run threefry and this test
+    would assert nothing about rbg."""
     from tpustomp.api.plan import plan_batch
     from tpustomp.api.problem import ProblemSpec
+    from tpustomp.engine.solver import _tm_step_eligible
     from tpustomp.robot import model
     from tpustomp.world.sdf import AnalyticWorld
 
     robot = model.planar_2r()
     world = AnalyticWorld.make(spheres=[((1.0, 0.8, 0.0), 0.2)])
     cfg = PlannerConfig(num_timesteps=20, num_rollouts=10, max_iterations=100,
+                        obstacle_backend="pallas", pallas_interpret=True,
                         noise=NoiseConfig(stddev=0.25, decay=1.0,
                                           prng_impl="rbg"))
+    assert _tm_step_eligible(robot, world, None, cfg), \
+        "test must run the tm path or the rbg branch is not exercised"
     probB = ProblemSpec(q0=jnp.zeros((4, 2)),
                         qN=jnp.tile(jnp.array([2.0, -0.8]), (4, 1)))
     sols = plan_batch(robot, world, probB, cfg,
@@ -104,6 +112,13 @@ def test_rbg_solve_end_to_end():
                        keys=jax.random.split(jax.random.PRNGKey(2), 4))
     assert not np.allclose(np.asarray(sols.trajectory),
                            np.asarray(sols2.trajectory))
+    # ...and differs from the threefry stream on the same path/keys
+    sols3 = plan_batch(robot, world, probB,
+                       cfg.replace(noise=NoiseConfig(
+                           stddev=0.25, decay=1.0, prng_impl="threefry")),
+                       keys=jax.random.split(jax.random.PRNGKey(1), 4))
+    assert not np.allclose(np.asarray(sols.trajectory),
+                           np.asarray(sols3.trajectory))
 
 
 def test_yaml_roundtrip_carries_prng_impl(tmp_path):

@@ -65,13 +65,21 @@ class NoiseConfig:
     # Opt-in, with two documented semantics changes: (1) the bit stream
     # differs from threefry, so cross-impl runs are not bit-comparable
     # (distribution is identical — iid normals); (2) the rbg stream is
-    # BATCH-LEVEL: one hardware-RNG block draw keyed by the XOR-fold of
+    # BATCH-LEVEL: one hardware-RNG block draw keyed by an add-fold of
     # all scenario keys (engine/sampling.rbg_block_key explains why a
     # per-scenario vmapped rbg draw would be silently wrong), so a
-    # scenario's noise depends on the whole batch's keys. Applies to the
-    # batched time-major fused path (plan_batch / plan_sharded / MPC on
-    # kernel-eligible robots+worlds); other paths keep threefry.
+    # scenario's noise depends on the whole batch's keys AND its batch
+    # position. Applies to the batched time-major fused path (plan_batch /
+    # plan_sharded / MPC on kernel-eligible robots+worlds); other paths
+    # keep threefry. Validated eagerly in __post_init__ so a typo fails at
+    # construction, not silently-threefry on ineligible paths.
     prng_impl: str = "threefry"
+
+    def __post_init__(self):
+        if self.prng_impl not in ("threefry", "rbg"):
+            raise ValueError(
+                f"NoiseConfig.prng_impl={self.prng_impl!r}: expected "
+                "'threefry' (default) or 'rbg' (hardware RNG)")
 
 
 @dataclass(frozen=True)

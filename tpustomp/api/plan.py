@@ -464,14 +464,20 @@ def plan_batch_retry(robot: RobotSpec, world, problem: ProblemSpec,
             break
         # Every device array in this loop is PADDED to the bucket size, so
         # each (bucket, round) pair compiles exactly once and repeat calls
-        # with different failed sets hit warm programs (padding rows
-        # duplicate failed[0]; the duplicate scatters below rewrite the
-        # same recovered row — benign). Un-padded shapes here caused a
-        # per-call recompile of the eager merge ops (measured: 8.5 s/call).
+        # with different failed sets hit warm programs. Un-padded shapes
+        # here caused a per-call recompile of the eager merge ops
+        # (measured: 8.5 s/call). Padding rows duplicate failed[0] for the
+        # GATHER (any valid problem row works), but the SCATTER points them
+        # out of bounds so they are dropped: a duplicate in-bounds write
+        # has an undefined winner in JAX, and under noise.prng_impl="rbg"
+        # the pad rows genuinely diverge from their original (noise is
+        # keyed by batch position, not per-row key).
         pad = max(16, 1 << int(np.ceil(np.log2(failed.size))))
         idx = np.concatenate([failed, np.repeat(failed[:1],
                                                 pad - failed.size)])
         idx_d = jnp.asarray(idx)
+        idx_scatter = jnp.asarray(np.concatenate(
+            [failed, np.full(pad - failed.size, q0.shape[0], failed.dtype)]))
 
         def _rows(x):
             """Gather retry rows; per-row ([B, d]) tolerance arrays must
@@ -491,7 +497,7 @@ def plan_batch_retry(robot: RobotSpec, world, problem: ProblemSpec,
         re = plan_batch(robot, world, sub,
                         cfg.replace(num_restarts=retry_restarts),
                         keys=sub_keys, constraints=constraints)
-        sol = _scatter_solution_jit(sol, re, idx_d)
+        sol = _scatter_solution_jit(sol, re, idx_scatter)
     return sol
 
 
@@ -507,7 +513,10 @@ def _retry_keys_jit(keys, idx, rnd):
 
 @jax.jit
 def _scatter_solution_jit(sol, part, idx):
-    return jax.tree.map(lambda f, p: f.at[idx].set(p), sol, part)
+    # mode="drop": pad rows arrive with out-of-bounds indices (see
+    # plan_batch_retry) so only the real failed rows are merged
+    return jax.tree.map(lambda f, p: f.at[idx].set(p, mode="drop"),
+                        sol, part)
 
 
 def _use_compaction(cfg: PlannerConfig) -> bool:

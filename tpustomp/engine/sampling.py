@@ -21,7 +21,7 @@ import jax.numpy as jnp
 def _key_words(keys: jax.Array) -> jnp.ndarray:
     """Key data of a [B]-batch of keys (typed or raw uint32) as [B, W]."""
     if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
-        return jax.vmap(jax.random.key_data)(keys)
+        return jax.random.key_data(keys)  # batched typed keys -> [B, W]
     return keys
 
 
@@ -96,7 +96,7 @@ def sample_noise_tm(keys: jax.Array, L: jnp.ndarray, sigma: jnp.ndarray,
     (~0.57 ms at B=256 on v5e, 14% of HBM bandwidth).
 
     impl="rbg" (NoiseConfig.prng_impl): ONE hardware-RNG block draw keyed by
-    the XOR-fold of all scenario keys (rbg_block_key above — see its
+    the add-fold of all scenario keys (rbg_block_key above — see its
     docstring for why vmapping an rbg draw over keys would be wrong). Same
     distribution and the same L contraction / per-scenario sigma scaling;
     different bit stream (batch-level, not per-scenario). Measured on v5e
@@ -109,7 +109,7 @@ def sample_noise_tm(keys: jax.Array, L: jnp.ndarray, sigma: jnp.ndarray,
     if impl == "rbg":
         z = jax.random.normal(rbg_block_key(keys), (d, B, num_rollouts, N),
                               dtype=L.dtype)
-    elif impl in ("threefry", "threefry2x32"):
+    elif impl == "threefry":
         z = jax.vmap(lambda k: jax.random.normal(k, (d, num_rollouts, N),
                                                  dtype=L.dtype),
                      out_axes=1)(keys)                  # [d, B, K, N]

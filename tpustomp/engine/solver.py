@@ -563,13 +563,17 @@ def make_step_batch_tm(robot: RobotSpec, world, constraints,
     are ever transposed. Measured: propose+kernel reaches the kernel-only
     floor (0.889 vs 0.900 ms/iter).
 
-    Per-scenario numerics match `make_step_batch` / vmap(solve): the z draw
-    order is shared (sample_noise's (d, K, N) convention), every contraction
-    reduces over the same axis, and only axis labels differ (dot tilings may
-    differ at ULP level across backends; equality is asserted exactly on the
-    XLA CPU path and at 1e-6 through pallas interpret — see
-    tests/unit/test_rollout_kernel.py::test_solve_batch_with_done_scenarios
-    _matches_vmap_solve and tests/unit/test_tm_layout.py).
+    Per-scenario numerics match `make_step_batch` / vmap(solve) UNDER THE
+    DEFAULT THREEFRY STREAM: the z draw order is shared (sample_noise's
+    (d, K, N) convention), every contraction reduces over the same axis,
+    and only axis labels differ (dot tilings may differ at ULP level across
+    backends; equality is asserted exactly on the XLA CPU path and at 1e-6
+    through pallas interpret — see tests/unit/test_rollout_kernel.py::
+    test_solve_batch_with_done_scenarios_matches_vmap_solve and
+    tests/unit/test_tm_layout.py). With cfg.noise.prng_impl="rbg" the draw
+    is batch-level (one block keyed by the fold of all scenario keys), so
+    cross-path per-scenario parity is deliberately NOT available — do not
+    add rbg cases to the gather-parity tests above.
     """
     from tpustomp.costs.smoothness import smoothness_cost_per_timestep_tm
     from tpustomp.engine.sampling import sample_noise_tm
@@ -869,7 +873,11 @@ def _gather_world(world, idx, world_batched: bool):
 
 @jax.jit
 def _scatter_rows(buf, rows, idx):
-    return jax.tree.map(lambda b, x: b.at[idx].set(x), buf, rows)
+    # mode="drop": callers point pad rows at an out-of-bounds index so the
+    # scatter ignores them — duplicate in-bounds writes (whose winner is
+    # undefined in JAX) never occur, whatever the pad rows computed
+    return jax.tree.map(lambda b, x: b.at[idx].set(x, mode="drop"),
+                        buf, rows)
 
 
 @jax.jit
@@ -932,8 +940,15 @@ def solve_batch_compacted(robot: RobotSpec, world, constraints,
     full-batch result buffer, and re-dispatches only the still-active
     scenarios, padded up to the next power-of-two bucket (each bucket size
     compiles once; `min_bucket` floors the bucket so the fused kernel stays
-    well-fed). Pad rows are duplicates of an active row — they evolve
-    bit-identically (same state, same key) so duplicate scatters are benign.
+    well-fed). Pad rows are duplicates of an active row, but their results
+    are NEVER merged: the done-mask merge reads only the non-pad prefix and
+    the row scatter points pads out of bounds (mode="drop"), so nothing
+    depends on a pad row evolving identically to its original. (Under
+    ``noise.prng_impl="rbg"`` pads genuinely diverge — the stream is
+    batch-position-keyed — and compaction changes every active scenario's
+    noise vs the uncompacted run because the batch composition changes;
+    results remain valid independent solves, but the compacted == plain
+    parity assertion holds for the default threefry stream only.)
 
     Per-scenario results match `solve_batch` to roundoff: gather/scatter
     permute whole rows, but XLA may tile batched ops differently at
@@ -957,6 +972,7 @@ def solve_batch_compacted(robot: RobotSpec, world, constraints,
 
     Q0d, QNd = jnp.asarray(Q0), jnp.asarray(QN)
     cur_idx = np.arange(B)
+    cur_valid = B  # rows [:cur_valid] of cur_idx are real; the rest are pads
     cur_state, cur_Q0, cur_QN, cur_world = buf, Q0d, QNd, world
     global_done = np.zeros(B, bool)
 
@@ -968,8 +984,12 @@ def solve_batch_compacted(robot: RobotSpec, world, constraints,
         if full_pass:
             buf = cur_state
         else:
-            buf = _scatter_rows(buf, cur_state, jnp.asarray(cur_idx))
-        global_done[cur_idx] = done
+            # pads scatter out of bounds (dropped) — see _scatter_rows
+            scatter_idx = np.concatenate(
+                [cur_idx[:cur_valid],
+                 np.full(cur_idx.size - cur_valid, B, cur_idx.dtype)])
+            buf = _scatter_rows(buf, cur_state, jnp.asarray(scatter_idx))
+        global_done[cur_idx[:cur_valid]] = done[:cur_valid]
         active = np.flatnonzero(~global_done)
         if active.size == 0:
             break
@@ -983,6 +1003,7 @@ def solve_batch_compacted(robot: RobotSpec, world, constraints,
         cur_Q0, cur_QN = Q0d[sel_dev], QNd[sel_dev]
         cur_world = _gather_world(world, sel_dev, world_batched)
         cur_idx = sel
+        cur_valid = active.size
 
     return _jitted_finalize_batch(cfg, world_batched)(
         robot, world, constraints, ops, Q0d, QNd, buf)
