@@ -77,3 +77,45 @@ def test_consistent_robot_does_not_warn():
     with warnings.catch_warnings():
         warnings.simplefilter("error", UserWarning)
         plan(robot, world, prob, _cfg(), key=jax.random.PRNGKey(0))
+
+
+def test_mpc_sharded_warns_on_stale_joint_static():
+    """The MPC production entries must run the same eager guard as
+    plan/plan_batch: run_mpc_sharded jits its tick, so a stale
+    joint_static would silently replan with the OLD kinematics."""
+    from tpustomp.engine import mpc as mpc_mod
+
+    robot, stale = _stale_robot()
+    B = 8  # must divide the (virtual 8-device) scenario mesh
+    cfg = _cfg()
+    q0 = np.zeros(7, np.float32)
+    qN = np.full(7, 0.3, np.float32)
+    centers = np.asarray([[0.6, 0.3, 0.4]], np.float32)
+    vel = np.asarray([[-0.1, 0.0, 0.0]], np.float32)
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[mpc_mod.init_mpc(stale, cfg, q0, qN, centers, vel,
+                           jax.random.PRNGKey(i)) for i in range(B)])
+    with pytest.warns(UserWarning, match="joint_static"):
+        mpc_mod.run_mpc_sharded(stale, cfg, states,
+                                jnp.asarray([0.1], jnp.float32), 2, 0.1)
+
+
+def test_mpc_resilient_warns_on_stale_joint_static():
+    from tpustomp.engine import mpc as mpc_mod
+
+    robot, stale = _stale_robot()
+    B = 8
+    cfg = _cfg()
+    q0 = np.zeros(7, np.float32)
+    qN = np.full(7, 0.3, np.float32)
+    centers = np.asarray([[0.6, 0.3, 0.4]], np.float32)
+    vel = np.asarray([[-0.1, 0.0, 0.0]], np.float32)
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[mpc_mod.init_mpc(stale, cfg, q0, qN, centers, vel,
+                           jax.random.PRNGKey(i)) for i in range(B)])
+    with pytest.warns(UserWarning, match="joint_static"):
+        mpc_mod.run_mpc_resilient(stale, cfg, states,
+                                  jnp.asarray([0.1], jnp.float32), 2, 0.1,
+                                  chunk_ticks=2)

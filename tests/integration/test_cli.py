@@ -93,3 +93,69 @@ def test_cli_config5_mpc_grid(capsys):
         assert "reached_rate" in out and "median_ticks_to_goal" in out
     finally:
         os.remove(small)
+
+
+def test_cli_mpc_grid_keeps_scene_spheres_as_movers(capsys, monkeypatch):
+    """--grid mpc: the scene's spheres must remain the per-scenario MOVING
+    obstacles (the function's contract) while only the static boxes are
+    voxelized — round-5 fix: previously the whole scene (spheres included)
+    was frozen into the grid and a spurious default mover launched."""
+    import yaml
+    import numpy as np
+    from tpustomp.engine import mpc as mpc_mod
+    from tpustomp.world.sdf import GridSDF
+
+    captured = {}
+
+    def spy(robot, cfg, states, radius, ticks, world_dt, **kw):
+        captured["states"] = states
+        captured["radius"] = np.asarray(radius)
+        captured["static_world"] = kw.get("static_world")
+        return states  # skip the solve; the CLI only summarizes fields
+
+    monkeypatch.setattr(mpc_mod, "run_mpc_sharded", spy)
+
+    sphere_c = [0.9, 0.5, 0.45]
+    box_c = [0.6, 0.0, 0.2]
+    doc = {
+        "planner": {"num_timesteps": 10, "num_rollouts": 4,
+                    "max_iterations": 2},
+        "scene": {
+            "robot": "arm_7dof",
+            "spheres": [{"center": sphere_c, "radius": 0.2}],
+            "boxes": [{"center": box_c, "half": [0.3, 0.4, 0.2]}],
+            "grid": {"origin": [-0.2, -1.0, 0.0], "shape": [16, 20, 12],
+                     "resolution": 0.1},
+            "q0": [-0.6, 0.5, 0.0, -0.8, 0.0, -0.5, 0.0],
+            "qN": [0.4, 0.5, 0.0, -0.8, 0.0, -0.5, 0.0],
+        },
+        "mpc": {"scenarios": 4, "ticks": 3, "world_dt": 0.1,
+                "obstacle_speed": 0.2},
+    }
+    small = os.path.join(os.path.dirname(__file__), "_cfg5_spheres.yaml")
+    with open(small, "w") as f:
+        yaml.safe_dump(doc, f)
+    try:
+        rc = main([small, "--grid", "--scenarios", "4"])
+        assert rc == 0
+        json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    finally:
+        os.remove(small)
+
+    # the scene sphere is the mover, not a default at [0.9, 0.6, 0.5]
+    centers = np.asarray(captured["states"].sphere_center)  # [B, S, 3]
+    assert centers.shape[1:] == (1, 3)
+    np.testing.assert_allclose(centers[0, 0], sphere_c, atol=1e-6)
+    np.testing.assert_allclose(captured["radius"], [0.2])
+
+    gw = captured["static_world"]
+    assert isinstance(gw, GridSDF)
+    # sphere region NOT frozen into the static grid (positive distance at
+    # its center voxel), while the box region is inside (negative)
+    def vox(p):
+        idx = np.round((np.asarray(p) - np.asarray(gw.origin))
+                       / float(gw.resolution)).astype(int)
+        return float(np.asarray(gw.grid)[tuple(idx)])
+
+    assert vox(sphere_c) > 0.0
+    assert vox(box_c) < 0.0

@@ -194,3 +194,19 @@ def test_retry_recovers_failed_rows_and_keeps_successful_ones():
                                   np.asarray(base.trajectory)[ok])
     np.testing.assert_array_equal(np.asarray(sol.iterations)[ok],
                                   np.asarray(base.iterations)[ok])
+
+
+def test_stream_depth_zero_is_synchronous():
+    """depth=0 is a valid fully-synchronous mode: dispatch, then drain to
+    empty before the next dispatch. The round-5 drain-before-dispatch
+    reorder must not pop an empty deque (IndexError regression)."""
+    robot, world = _scene()
+    cfg = _cfg()
+    items = _problems(4, 3)
+    got = list(plan_batch_stream(robot, world, iter(items), cfg, depth=0,
+                                 gather="full"))
+    assert len(got) == 3
+    for (prob, keys), sol in zip(items, got):
+        ref = plan_batch(robot, world, prob, cfg, keys=keys)
+        np.testing.assert_array_equal(np.asarray(sol.trajectory),
+                                      np.asarray(ref.trajectory))

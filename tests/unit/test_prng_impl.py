@@ -129,3 +129,19 @@ def test_yaml_roundtrip_carries_prng_impl(tmp_path):
     p = tmp_path / "cfg.yaml"
     p.write_text(yaml.safe_dump(to_dict(cfg)))
     assert load_yaml(str(p)).noise.prng_impl == "rbg"
+
+
+def test_block_key_accepts_any_scenario_key_width():
+    """The fold must mix down to threefry's 2 words regardless of the
+    incoming key impl's width (W=4 under jax_default_prng_impl="rbg" /
+    "unsafe_rbg") — round-5 fix: previously wrap_key_data raised at trace
+    time for any non-threefry scenario-key impl."""
+    for impl in ("threefry2x32", "rbg", "unsafe_rbg"):
+        keys = jax.random.split(jax.random.key(0, impl=impl), 8)
+        k = rbg_block_key(keys)
+        assert str(jax.random.key_impl(k)) == "rbg", impl
+        # key-dependence property holds at every width
+        keys2 = keys.at[3].set(jax.random.key(99, impl=impl))
+        assert not np.array_equal(
+            np.asarray(jax.random.key_data(rbg_block_key(keys))),
+            np.asarray(jax.random.key_data(rbg_block_key(keys2)))), impl

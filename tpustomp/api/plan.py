@@ -425,8 +425,10 @@ def plan_batch_stream(robot: RobotSpec, world, problems,
         prob, keys = item if isinstance(item, tuple) else (item, None)
         # drain BEFORE dispatching so at most `depth` batches are ever
         # resident on the device (the r4 append-first order kept depth+1
-        # in flight, one more than documented)
-        while len(inflight) >= depth:
+        # in flight, one more than documented). The `inflight and` guard
+        # keeps depth=0 a valid fully-synchronous mode (dispatch, then
+        # drain to empty) instead of popping an empty deque.
+        while inflight and len(inflight) >= depth:
             yield _out(inflight.popleft())
         inflight.append(_dispatch(prob, keys))
     while inflight:

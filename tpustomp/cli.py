@@ -185,9 +185,34 @@ def _run_mpc(doc, robot, world, q0, qN, cfg, args):
     rng = np.random.default_rng(args.seed)
     d = q0.shape[0]
     if isinstance(world, GridSDF):
+        # --grid: _build_scene voxelized the WHOLE analytic scene, spheres
+        # included — but this function's contract makes the scene spheres
+        # the per-scenario MOVING obstacles. Re-voxelize only the static
+        # geometry (boxes) and keep the spheres analytic; otherwise the
+        # spheres are silently frozen into the grid at their initial
+        # positions and a spurious default mover is launched instead,
+        # making --grid dynamics differ from the analytic run.
+        scene = doc.get("scene", {})
+        sph = scene.get("spheres", [])
+        if sph:
+            from tpustomp.world import edt
+            g = scene["grid"]
+            boxes_only = AnalyticWorld.make(
+                boxes=[(tuple(b["center"]), tuple(b["half"]))
+                       for b in scene.get("boxes", [])])
+            occ = edt.occupancy_from_analytic(
+                boxes_only, tuple(g["origin"]), tuple(g["shape"]),
+                float(g["resolution"]))
+            world = edt.signed_edt(occ, float(g["resolution"]),
+                                   tuple(g["origin"]))
+            scene_spheres = np.asarray([s["center"] for s in sph],
+                                       np.float32)
+            scene_radii = np.asarray([float(s["radius"]) for s in sph],
+                                     np.float32)
+        else:
+            scene_spheres = np.zeros((0, 3), np.float32)
+            scene_radii = np.zeros((0,), np.float32)
         static_world = world          # voxel scene -> CompositeWorld grid
-        scene_spheres = np.zeros((0, 3), np.float32)
-        scene_radii = np.zeros((0,), np.float32)
     else:
         assert isinstance(world, AnalyticWorld), type(world)
         static_world = (AnalyticWorld(

@@ -408,7 +408,12 @@ def run_mpc_sharded(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     """
     if mesh is None:
         mesh = make_mesh()
-    from tpustomp.api.plan import resolve_backend
+    from tpustomp.api.plan import _sanitize_robot, resolve_backend
+    # Eager stale-joint_static guard (same as plan/plan_batch/tune): the
+    # jitted tick can't check tracer leaves, so a robot altered via
+    # dataclasses.replace would otherwise run the OLD specialized
+    # kinematics on every replan with no warning.
+    robot = _sanitize_robot(robot)
     cfg = resolve_backend(cfg, robot, _probe_world(static_world),
                           batch_hint=jax.tree.leaves(state)[0].shape[0])
     state = jax.tree.map(lambda x: _shard_batch(np.asarray(x), mesh), state)
@@ -478,7 +483,12 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
     # (_retry_fn) runs the exact backend run_mpc_sharded resolves to — a
     # recovered scenario must be numerically identical to a fault-free run
     # (candidate argmins can flip across backends).
-    from tpustomp.api.plan import resolve_backend
+    from tpustomp.api.plan import _sanitize_robot, resolve_backend
+    # Sanitize BEFORE resolve so the healthy dispatch (run_mpc_sharded,
+    # which sanitizes again — a no-op on the already-clean robot) and the
+    # subset-recovery dispatch (_retry_fn below, which bypasses it) run
+    # the SAME kinematics for a robot with stale joint_static.
+    robot = _sanitize_robot(robot)
     # batch_hint: the FULL batch (never the retry subset) so healthy and
     # recovery dispatches resolve to the same backend
     cfg = resolve_backend(cfg, robot, _probe_world(static_world),

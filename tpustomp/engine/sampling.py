@@ -56,6 +56,16 @@ def rbg_block_key(keys: jax.Array) -> jax.Array:
     """
     words = _key_words(keys).astype(jnp.uint32)           # [B, W]
     mixed = jnp.sum(words, axis=0, dtype=jnp.uint32)
+    # Mix down to the 2 words threefry expects regardless of the incoming
+    # key width (W=4 under jax_default_prng_impl="rbg"/"unsafe_rbg", W=1
+    # under some custom impls): pad to even length and pair-sum. Without
+    # this, wrap_key_data raises at trace time for any non-threefry
+    # scenario-key impl.
+    if mixed.shape[0] != 2:
+        pad = (-mixed.shape[0]) % 2
+        mixed = jnp.concatenate(
+            [mixed, jnp.zeros((pad,), jnp.uint32)]).reshape(-1, 2)
+        mixed = jnp.sum(mixed, axis=0, dtype=jnp.uint32)
     tf = jax.random.wrap_key_data(mixed, impl="threefry2x32")
     return jax.random.wrap_key_data(
         jax.random.bits(tf, (4,), jnp.uint32), impl="rbg")
