@@ -239,11 +239,15 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False,
         log(f"retry buckets warmed (16..min(256,B)): "
             f"{time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
+    variant = (f"grid={grid} " if grid else "") + \
+        ("constrained " if constrained else "") + \
+        (f"torque={torque_weight} " if torque_weight else "") + \
+        (f"prng={prng} " if prng != "threefry" else "")
     sol = solve(robot, world, prob, cfg,
                 keys=jax.random.split(jax.random.PRNGKey(0), B),
                 constraints=constraints)
     _ = float(jnp.sum(sol.cost))
-    log(f"batched B={B} retry={retry} swept={swept} compile+first: "
+    log(f"batched B={B} retry={retry} swept={swept} {variant}compile+first: "
         f"{time.perf_counter() - t0:.1f}s")
     ts, succs = [], []
     for i in range(1, n + 1):
@@ -288,7 +292,7 @@ def solves_per_sec(B=1024, retry=False, n=5, swept=False, grid=False,
         res["note"] = ("equal-work comparison: both arms run exactly "
                        "max_iterations solver iterations; overhead = the "
                        "EE-frame cone tail on the fused path")
-    log(f"solves/s B={B} retry={retry} swept={swept}: {res}")
+    log(f"solves/s B={B} retry={retry} swept={swept} {variant}: {res}")
     return res
 
 

@@ -2,6 +2,12 @@
 scenario). Run:  python examples/mpc_moving_obstacle.py
 """
 
+import os as _os
+import sys as _sys
+
+# make "python examples/<name>.py" work without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -3,6 +3,12 @@
 Run:  python examples/plan_tabletop.py            (TPU or CPU)
 """
 
+import os as _os
+import sys as _sys
+
+# make "python examples/<name>.py" work without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 
@@ -18,8 +24,12 @@ def main():
         boxes=[((0.6, 0.0, 0.2), (0.45, 0.6, 0.25)),     # table
                ((0.68, -0.05, 0.62), (0.06, 0.06, 0.18))])  # bottle
     cfg = PlannerConfig(
-        num_timesteps=100, duration=5.0, num_rollouts=50,
-        noise=NoiseConfig(stddev=0.08, decay=0.995, num_rollouts_reused=5),
+        num_timesteps=100, duration=5.0, num_rollouts=50, pi2_h=20.0,
+        # swept exploration (bench/stomp_sweep.py, docs/EXPERIMENTS.md):
+        # wide undecayed noise converges in ~11 iterations at success 1.0;
+        # the reference-style sigma=0.08/decay=0.995 needs ~25 and drops to
+        # ~0.59 success on hard problem distributions
+        noise=NoiseConfig(stddev=0.25, decay=1.0, num_rollouts_reused=5),
         collision_clearance=0.05, max_iterations=100,
         max_iterations_after_collision_free=5)
     prob = ProblemSpec(

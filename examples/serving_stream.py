@@ -14,6 +14,12 @@ per-host loop — docs/PERFORMANCE.md):
 Run: python examples/serving_stream.py
 """
 
+import os as _os
+import sys as _sys
+
+# make "python examples/<name>.py" work without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

@@ -17,6 +17,12 @@ overlay (engine/mpc.py); this loop is for STRUCTURAL world changes at
 sensor cadence — newly observed geometry that joins the static field.
 """
 
+import os as _os
+import sys as _sys
+
+# make "python examples/<name>.py" work without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

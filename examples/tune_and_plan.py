@@ -9,6 +9,12 @@ call (traced per-scenario hyperparameters, engine/solver.HyperParams).
 Run: python examples/tune_and_plan.py        (~1 min on a TPU chip)
 """
 
+import os as _os
+import sys as _sys
+
+# make "python examples/<name>.py" work without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 

@@ -9,6 +9,12 @@ well. A tabletop occupancy decomposes to exactly 2 boxes.
 Run: python examples/voxel_to_boxes.py
 """
 
+import os as _os
+import sys as _sys
+
+# make "python examples/<name>.py" work without installing the package
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 

@@ -234,7 +234,15 @@ def run_mpc(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
             sphere_radius, num_ticks: int, world_dt: float,
             static_world=None, goal_eps: float = GOAL_EPS,
             goal_flush: float | None = GOAL_FLUSH) -> MPCState:
-    """Run `num_ticks` control steps (lax.scan; jit/vmap/shard-able)."""
+    """Run `num_ticks` control steps (lax.scan; jit/vmap/shard-able).
+
+    Caveat when wrapping in your own jax.jit: the stale-joint_static guard
+    below only sees concrete leaves, so under an outer jit it cannot check
+    — if you alter joint arrays via dataclasses.replace, drop or refresh
+    robot.joint_static yourself (api/plan._sanitize_robot does it eagerly).
+    """
+    from tpustomp.api.plan import _sanitize_robot
+    robot = _sanitize_robot(robot)  # no-op on tracer leaves (outer jit)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
 
     def tick(s, _):
@@ -330,7 +338,12 @@ def run_mpc_batch(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
                   sphere_radius, num_ticks: int, world_dt: float,
                   static_world=None, goal_eps: float = GOAL_EPS,
                   goal_flush: float | None = GOAL_FLUSH) -> MPCState:
-    """Batched run_mpc: state leaves carry a leading [B] scenario axis."""
+    """Batched run_mpc: state leaves carry a leading [B] scenario axis.
+
+    Same outer-jit caveat as run_mpc: the stale-joint_static guard is a
+    no-op on tracer leaves."""
+    from tpustomp.api.plan import _sanitize_robot
+    robot = _sanitize_robot(robot)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
 
     def tick(s, _):
@@ -468,7 +481,11 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
         non-finite leaves); failed scenarios alone are re-run from the
         snapshot on a fresh dispatch while healthy results are kept.
         Re-dispatch replays the same PRNG keys, so a recovered scenario is
-        numerically identical to a never-failed one.
+        numerically identical to a never-failed one. Under the opt-in
+        batch-level noise stream (cfg.noise.prng_impl="rbg") the subset
+        re-dispatch would change the key fold, so recovery there replays
+        the FULL batch from the snapshot and keeps only the failed rows —
+        same guarantee, at full-batch recovery cost.
 
     `_fault_hook(chunk_idx, state_host) -> state_host` is the fault-injection
     seam used by tests (corrupts results as a dead shard would).
@@ -539,8 +556,24 @@ def run_mpc_resilient(robot: RobotSpec, cfg: PlannerConfig, state: MPCState,
             if not bad.any():
                 break
             idx = np.flatnonzero(bad)
-            sub = jax.tree.map(lambda x: jnp.asarray(x[idx]), snapshot)
-            redo = to_host(_retry_fn(ticks)(sub))
+            if cfg.noise.prng_impl == "rbg":
+                # The rbg noise stream is BATCH-level (rbg_block_key folds
+                # the whole batch's keys), so a subset re-dispatch would
+                # give retried rows a different stream and silently break
+                # the recovered == never-failed guarantee. Replay the FULL
+                # batch from the snapshot through run_mpc_sharded — the
+                # LITERAL healthy program (same sharded jit, same inputs),
+                # so identity is bitwise — and keep only the failed rows.
+                # (A full-batch _retry_fn replay was measured ~1e-7 off:
+                # the unsharded jit reassociates float ops differently.)
+                redo_full = to_host(run_mpc_sharded(
+                    robot, cfg, snapshot, radius, ticks, world_dt,
+                    mesh=mesh, static_world=static_world,
+                    goal_eps=goal_eps, goal_flush=goal_flush))
+                redo = jax.tree.map(lambda x: x[idx], redo_full)
+            else:
+                sub = jax.tree.map(lambda x: jnp.asarray(x[idx]), snapshot)
+                redo = to_host(_retry_fn(ticks)(sub))
             out = jax.tree.map(
                 lambda full, part: _merge_rows(full, part, idx), out, redo)
             bad = _unhealthy(out, expected)
