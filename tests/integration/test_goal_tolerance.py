@@ -103,3 +103,40 @@ def test_goal_tolerance_batched():
     assert np.asarray(sols.success).all()
     qend = np.asarray(sols.trajectory[:, -1])
     assert np.all(np.abs(qend - QN) <= tol + 1e-5)
+
+
+def test_plan_sharded_honors_goal_tolerance():
+    """The mesh path must resolve the band exactly as plan_batch (round-5
+    fix: plan_sharded previously used the raw nominal, so the same
+    problems changed results the moment a user scaled out)."""
+    from tpustomp.engine.distributed import make_mesh, plan_sharded
+
+    robot = model.planar_2r(body_radius=0.05)
+    B = 8
+    tol = np.tile(np.array([0.6, 0.6], np.float32), (B, 1))
+    prob = ProblemSpec(q0=np.tile(Q0, (B, 1)), qN=np.tile(QN, (B, 1)),
+                       goal_tolerance_below=tol, goal_tolerance_above=tol)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    ref = plan_batch(robot, _goal_blocked_world(), prob, _cfg(), keys=keys)
+    sh = plan_sharded(robot, _goal_blocked_world(), prob, _cfg(),
+                      keys=keys, mesh=make_mesh())
+    assert np.asarray(sh.success).all()
+    np.testing.assert_array_equal(np.asarray(sh.trajectory),
+                                  np.asarray(ref.trajectory))
+
+
+def test_tune_honors_goal_tolerance():
+    """tune() must score cells on the band-resolved goals plan_batch will
+    actually solve (round-5 fix): with the nominal goal in collision but
+    the band feasible, every cell should show non-zero success."""
+    from tpustomp.api.tune import tune
+
+    robot = model.planar_2r(body_radius=0.05)
+    B = 4
+    tol = np.tile(np.array([0.6, 0.6], np.float32), (B, 1))
+    prob = ProblemSpec(q0=np.tile(Q0, (B, 1)), qN=np.tile(QN, (B, 1)),
+                       goal_tolerance_below=tol, goal_tolerance_above=tol)
+    res = tune(robot, _goal_blocked_world(), prob, _cfg(),
+               noise_scale=(1.0,), h=(10.0,), decay=(1.0,))
+    (metrics,) = res.table.values()
+    assert metrics["success_rate"] > 0.5

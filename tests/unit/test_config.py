@@ -61,3 +61,21 @@ def test_per_joint_stddev_validation():
 def test_dt_definition():
     cfg = C.PlannerConfig(num_timesteps=99, duration=5.0)
     assert cfg.dt == pytest.approx(0.05)
+
+
+def test_from_dict_rejects_unknown_keys():
+    """A misspelled YAML knob must fail loudly, not silently keep the
+    default (round-5 fix)."""
+    with pytest.raises(ValueError, match="num_timestep"):
+        C.from_dict({"num_timestep": 200})
+    with pytest.raises(ValueError, match="sttdev"):
+        C.from_dict({"noise": {"sttdev": 0.1}})
+
+
+def test_zero_clearance_rejected_at_construction():
+    """collision_clearance=0 would make the A.4 potential 0/0=NaN at
+    touching distance; PlannerConfig rejects it eagerly (round-5 fix)."""
+    with pytest.raises(ValueError, match="collision_clearance"):
+        C.PlannerConfig(collision_clearance=0.0)
+    with pytest.raises(ValueError, match="collision_clearance"):
+        C.PlannerConfig(collision_clearance=-0.1)

@@ -160,3 +160,34 @@ def test_safe_norm_propagates_nan():
     x = jnp.asarray([[np.nan, 1.0, 0.0], [1.0, 2.0, 2.0]])
     out = np.asarray(safe_norm(x))
     assert np.isnan(out[0]) and abs(out[1] - 3.0) < 1e-6
+
+
+def test_analytic_make_accepts_generators_and_arrays():
+    """make() must materialize its iterables ONCE (round-5 fix: a generator
+    input was exhausted by the first comprehension, silently producing an
+    obstacle-free world), and accept numpy-array inputs."""
+    pairs = [((2.0, 0.0, 0.0), 0.25), ((0.0, 1.0, 0.0), 0.1)]
+    w_gen = AnalyticWorld.make(spheres=(p for p in pairs))
+    assert w_gen.sphere_center.shape == (2, 3)
+    assert w_gen.sphere_radius.shape == (2,)
+    # inside the first sphere: definitely negative distance
+    assert float(sdf(w_gen, jnp.asarray([[2.0, 0.0, 0.0]]))[0]) < 0.0
+    w_arr = AnalyticWorld.make(
+        spheres=np.array([[[2.0, 0.0, 0.0]], [[0.25, 0.25, 0.25]]],
+                         dtype=object)[0:0],  # empty array input: no crash
+        boxes=np.asarray([((0.5, 0.0, 0.0), (0.2, 0.2, 0.2))],
+                         dtype=np.float32))
+    assert w_arr.box_center.shape == (1, 3)
+
+
+def test_potential_finite_at_zero_clearance():
+    """potential/potential_deriv with eps=0 must degrade to the hinge, not
+    0/0=NaN at touching distance (round-5 fix)."""
+    from tpustomp.costs.obstacle import potential, potential_deriv
+
+    d = jnp.asarray([-0.1, 0.0, 0.1])
+    p = np.asarray(potential(d, 0.0))
+    g = np.asarray(potential_deriv(d, 0.0))
+    assert np.all(np.isfinite(p)) and np.all(np.isfinite(g))
+    np.testing.assert_allclose(p, [0.1, 0.0, 0.0])
+    np.testing.assert_allclose(g, [-1.0, 0.0, 0.0])

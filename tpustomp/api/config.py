@@ -250,6 +250,17 @@ class PlannerConfig:
             return tuple(self.noise.stddev_per_joint)
         return tuple(float(self.noise.stddev) for _ in range(num_joints))
 
+    def __post_init__(self):
+        # The A.4 potential's quadratic region divides by the clearance
+        # epsilon, so clearance=0 yields 0/0 = NaN exactly at touching
+        # distance and poisons the PI2 softmax. Fail at construction with
+        # the workaround instead of silently diverging mid-solve.
+        if self.collision_clearance <= 0.0:
+            raise ValueError(
+                f"collision_clearance={self.collision_clearance}: must be "
+                "> 0 (the A.4 potential divides by it); use a small value "
+                "like 1e-4 m for effectively-zero padding")
+
     def replace(self, **kw) -> "PlannerConfig":
         return dataclasses.replace(self, **kw)
 
@@ -266,6 +277,15 @@ def _from_dict(cls, d: dict):
     # real types once per class; any nested dataclass field then loads
     # recursively without a per-name special case.
     hints = typing.get_type_hints(cls)
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = sorted(set(d) - known)
+    if unknown:
+        # silently dropping a misspelled knob ("num_timestep", "sttdev")
+        # leaves the default in place with no signal — the classic
+        # silently-wrong-config failure; fail loudly instead
+        raise ValueError(
+            f"unknown {cls.__name__} key(s) {unknown}; "
+            f"valid keys: {sorted(known)}")
     kw = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
@@ -290,4 +310,10 @@ def load_yaml(path: str) -> PlannerConfig:
 
     with open(path) as f:
         d = yaml.safe_load(f)
-    return from_dict(d.get("planner", d))
+    doc = d.get("planner")
+    if doc is None:
+        # bare planner dict (no `planner:` section): tolerate the CLI's
+        # documented sibling sections, but still reject unknown knobs
+        doc = {k: v for k, v in d.items()
+               if k not in ("scene", "batch", "mpc")}
+    return from_dict(doc)

@@ -110,8 +110,12 @@ def resolve_goal_tolerance(robot, world, cfg: PlannerConfig, q0, qN,
     hi = jnp.maximum(hi, lo)
     u = jax.random.uniform(jax.random.PRNGKey(_GOAL_KEY_SEED),
                            (_GOAL_SAMPLES, qN.shape[0]))
-    cands = jnp.concatenate(
-        [qN[None], jnp.clip(qN, lo, hi)[None], lo + u * (hi - lo)], axis=0)
+    # candidate 0 is the band∩limit-clipped nominal (the blanket clip means
+    # an UNclipped nominal is never evaluated — it would be outside joint
+    # limits whenever the clip moves it, hence infeasible by definition);
+    # d2 below is measured against the true nominal, so candidate 0 still
+    # wins exactly when the nominal itself is inside the band and feasible
+    cands = jnp.concatenate([qN[None], lo + u * (hi - lo)], axis=0)
     cands = jnp.clip(cands, lo, hi)
 
     def margin(q):
@@ -121,8 +125,8 @@ def resolve_goal_tolerance(robot, world, cfg: PlannerConfig, q0, qN,
     margins = jax.vmap(margin)(cands)
     feasible = margins > cfg.collision_threshold
     d2 = jnp.sum((cands - qN) ** 2, axis=1)
-    # nearest feasible candidate (the nominal is candidate 0 with d2=0, so
-    # a feasible nominal always wins = exact reference behavior); if none
+    # nearest feasible candidate (a feasible in-band nominal is candidate 0
+    # with d2=0 and always wins = exact reference behavior); if none
     # feasible, the max-margin candidate (best-effort, like the reference's
     # best-so-far failsafe)
     nearest = jnp.argmin(jnp.where(feasible, d2, jnp.inf))

@@ -47,14 +47,21 @@ class TuneResult:
     table: dict
 
     def best_config(self, cfg: PlannerConfig) -> PlannerConfig:
-        """cfg with the winning cell baked in as static values."""
+        """cfg with the winning cell baked in as static values.
+
+        dataclasses.replace (not a rebuild) so every NoiseConfig field the
+        cells inherited from cfg — stddev_per_joint (which noise_stddevs
+        prefers over the scalar), prng_impl, num_rollouts_reused — carries
+        into the baked config; a rebuild silently reverted per-joint sigma
+        ratios and the hardware-RNG opt-in, so the "tuned" config did not
+        reproduce the winning cell."""
         scale, h, decay = self.best
-        noise = cfg.noise.__class__(
-            stddev=cfg.noise.stddev * scale
-            if np.isscalar(cfg.noise.stddev)
-            else tuple(s * scale for s in cfg.noise.stddev),
-            decay=decay,
-            num_rollouts_reused=cfg.noise.num_rollouts_reused)
+        noise = dataclasses.replace(
+            cfg.noise,
+            stddev=float(cfg.noise.stddev) * scale,
+            stddev_per_joint=tuple(
+                s * scale for s in cfg.noise.stddev_per_joint),
+            decay=decay)
         return cfg.replace(noise=noise, pi2_h=h)
 
 
@@ -82,6 +89,13 @@ def tune(robot, world, problem: ProblemSpec,
     cells = list(itertools.product(noise_scale, h, decay))
     G = len(cells)
     cfg = resolve_backend(cfg, robot, world, batch_hint=G * n)
+    # Resolve the goal tolerance band exactly as plan_batch will at
+    # deployment (no-op for exact goals) — otherwise cells are scored on a
+    # harder problem distribution than the tuned config actually solves.
+    from tpustomp.api.plan import _apply_goal_tolerance
+    qNs = np.asarray(_apply_goal_tolerance(
+        robot, world, problem, cfg, jnp.asarray(q0s), jnp.asarray(qNs),
+        batched=True), np.float32)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), n)

@@ -20,21 +20,27 @@ from tpustomp.world.sdf import safe_norm, sdf
 
 
 def potential(d_signed: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """CHOMP obstacle potential, C^1 at d=0 and d=eps (A.4)."""
+    """CHOMP obstacle potential, C^1 at d=0 and d=eps (A.4).
+
+    The eps<=0 guard makes a direct call with zero clearance a hinge
+    (-d)+ instead of 0/0=NaN at d==0 (PlannerConfig additionally rejects
+    collision_clearance<=0 at construction)."""
+    quad_den = jnp.where(eps > 0.0, 2.0 * eps, 1.0)
     return jnp.where(
         d_signed < 0.0,
         -d_signed + 0.5 * eps,
         jnp.where(d_signed <= eps,
-                  (d_signed - eps) ** 2 / (2.0 * eps),
+                  (d_signed - eps) ** 2 / quad_den,
                   0.0),
     )
 
 
 def potential_deriv(d_signed: jnp.ndarray, eps: float) -> jnp.ndarray:
     """d potential / d distance (for the CHOMP workspace gradient, A.11)."""
+    den = jnp.where(eps > 0.0, eps, 1.0)
     return jnp.where(
         d_signed < 0.0, -1.0,
-        jnp.where(d_signed <= eps, (d_signed - eps) / eps, 0.0),
+        jnp.where(d_signed <= eps, (d_signed - eps) / den, 0.0),
     )
 
 

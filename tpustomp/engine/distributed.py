@@ -132,9 +132,16 @@ def plan_sharded(robot, world, problem: ProblemSpec,
                                 q0.shape[0] * jax.process_count())
         local = q0.shape[0]
         keys = keys[jax.process_index() * local:(jax.process_index() + 1) * local]
-    from tpustomp.api.plan import resolve_backend
+    from tpustomp.api.plan import _apply_goal_tolerance, resolve_backend
     cfg = resolve_backend(cfg, robot, world,
                           batch_hint=q0.shape[0] * jax.process_count())
+    # Resolve the goal tolerance band exactly as plan_batch does (no-op for
+    # exact goals): without this, the same problems gave different results
+    # the moment a user scaled from plan_batch to the mesh path. Runs on
+    # each process's local shard (rows are independent).
+    qN = np.asarray(_apply_goal_tolerance(
+        robot, world, problem, cfg, jnp.asarray(q0), jnp.asarray(qN),
+        batched=True), np.float32)
     ops = device_ops(cfg.num_timesteps, cfg.dt, cfg.smoothness)
     fn = _sharded_solve(cfg, mesh, constraints is not None,
                         has_hyper=hyper is not None)

@@ -45,6 +45,10 @@ class AnalyticWorld:
     def make(spheres=(), boxes=()) -> "AnalyticWorld":
         """spheres: iterable of (center xyz, radius); boxes: (center, half-extents)."""
         f32 = jnp.float32
+        # materialize first: a generator input would be exhausted by the
+        # first comprehension below (silently obstacle-free world), and
+        # array inputs make bare truthiness ambiguous
+        spheres, boxes = list(spheres), list(boxes)
         if spheres:
             sc = jnp.asarray([s[0] for s in spheres], f32)
             sr = jnp.asarray([s[1] for s in spheres], f32)
