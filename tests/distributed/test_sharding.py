@@ -148,3 +148,25 @@ def test_sharded_rbg_draw_partitions():
     lo = float(np.std(e[:, :, :B // 2]))
     hi = float(np.std(e[:, :, B // 2:]))
     assert 2.5 < hi / lo < 5.5, (lo, hi)
+
+
+def test_plan_sharded_accepts_typed_keys():
+    """New-style typed PRNG keys (jax.random.key) must work via keys=
+    (round-5 fix: np.asarray on typed keys raised before any solve); the
+    result must equal the raw-uint32-key run of the same seeds."""
+    robot, world, q0, qN, cfg, keys = _setup(8)
+    prob = ProblemSpec(q0=q0, qN=qN)
+    typed = jax.random.wrap_key_data(keys)
+    mesh = distributed.make_mesh()
+    a = distributed.plan_sharded(robot, world, prob, cfg, keys=keys,
+                                 mesh=mesh)
+    b = distributed.plan_sharded(robot, world, prob, cfg, keys=typed,
+                                 mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(a.trajectory),
+                                  np.asarray(b.trajectory))
+    import pytest
+    with pytest.raises(ValueError, match="threefry"):
+        distributed.plan_sharded(
+            robot, world, prob, cfg,
+            keys=jax.random.split(jax.random.key(0, impl="rbg"), 8),
+            mesh=mesh)

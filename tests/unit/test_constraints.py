@@ -76,3 +76,35 @@ def test_constrained_solve_reduces_constraint_cost():
     cc_free = float(jnp.sum(constraint_cost(robot, con, sol_free.trajectory)))
     cc_con = float(jnp.sum(constraint_cost(robot, con, sol_con.trajectory)))
     assert cc_con < 0.5 * cc_free, (cc_con, cc_free)
+
+
+def test_chomp_mode_optimizes_constraint_cost():
+    """CHOMP mode must DESCEND the constraint term, not merely monitor it
+    (round-5 fix: the gradient previously contained only obstacle +
+    smoothness, so a constrained CHOMP solve left the violation exactly
+    where the initialization put it). Checked for both gradient modes."""
+    from tpustomp.world.sdf import AnalyticWorld
+
+    robot = model.planar_2r()
+    world = AnalyticWorld.make()          # free space: isolate the cone
+    q0 = np.array([-0.4, 0.5], np.float32)
+    qN = np.array([0.5, -0.6], np.float32)
+    con = OrientationConstraint.make(axis_local=(1, 0, 0),
+                                     target_world=(1, 0, 0),
+                                     tolerance=0.05, weight=1.0)
+    for gmode in ("functional", "exact"):
+        cfg = PlannerConfig(
+            mode="chomp", chomp_gradient_mode=gmode, learning_rate=0.2,
+            num_timesteps=20, duration=2.1, num_rollouts=1,
+            weights=CostWeights(obstacle=1.0, smoothness=0.05,
+                                constraint=20.0),
+            collision_clearance=0.1, max_iterations=80,
+            max_iterations_after_collision_free=10**6)
+        prob = ProblemSpec(q0=q0, qN=qN)
+        base = plan(robot, world, prob, cfg, key=jax.random.PRNGKey(1))
+        sol = plan(robot, world, prob, cfg, key=jax.random.PRNGKey(1),
+                   constraints=con)
+        cc_base = float(jnp.sum(constraint_cost(robot, con,
+                                                base.trajectory)))
+        cc_sol = float(jnp.sum(constraint_cost(robot, con, sol.trajectory)))
+        assert cc_sol < 0.5 * cc_base, (gmode, cc_sol, cc_base)

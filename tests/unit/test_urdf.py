@@ -217,3 +217,51 @@ def test_urdf_mesh_missing_file_raises(tmp_path):
     """
     with pytest.raises(FileNotFoundError):
         load_urdf(urdf, mesh_dir=str(tmp_path))
+
+
+INERTIA_MERGE = """
+<robot name="merge">
+  <link name="base"/>
+  <link name="a">
+    <inertial>
+      <origin xyz="0 0 0"/><mass value="1.0"/>
+      <inertia ixx="0.001" iyy="0.001" izz="0.001" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <link name="b">
+    <inertial>
+      <origin xyz="0 0 0"/><mass value="1.0"/>
+      <inertia ixx="0.002" iyy="0.002" izz="0.002" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <joint name="j1" type="revolute">
+    <parent link="base"/><child link="a"/>
+    <origin xyz="0 0 0"/><axis xyz="0 0 1"/>
+    <limit lower="-2" upper="2"/>
+  </joint>
+  <joint name="jf" type="fixed">
+    <parent link="a"/><child link="b"/>
+    <origin xyz="0.3 0 0"/>
+  </joint>
+</robot>
+"""
+
+
+def test_fixed_link_inertia_merge_uses_parallel_axis():
+    """Folding a fixed child's inertial into its carrier must transport
+    BOTH tensors to the merged com (round-5 fix: the rotated child tensor
+    alone underestimated a 2x1 kg, 0.3 m pair by 16x, silently distorting
+    RNE torque costs on URDF arms with merged links)."""
+    robot = load_urdf(INERTIA_MERGE)
+    np.testing.assert_allclose(float(robot.link_mass[0]), 2.0)
+    np.testing.assert_allclose(np.asarray(robot.link_com[0]),
+                               [0.15, 0.0, 0.0], atol=1e-7)
+    # point-mass transport about z: each 1 kg at 0.15 m -> 2*1*0.15^2
+    # = 0.045, plus the own-tensors 0.001+0.002
+    I = np.asarray(robot.link_inertia[0])
+    np.testing.assert_allclose(I[2, 2], 0.045 + 0.003, rtol=1e-6)
+    # about x: the offset is along x, so no transport — own tensors only
+    np.testing.assert_allclose(I[0, 0], 0.003, rtol=1e-6)
+    # about y: same transport as z for an x-offset
+    np.testing.assert_allclose(I[1, 1], 0.045 + 0.003, rtol=1e-6)
+    assert np.allclose(I, I.T)

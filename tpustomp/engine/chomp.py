@@ -121,6 +121,36 @@ def exact_obstacle_gradient(robot: RobotSpec, world, theta: jnp.ndarray,
     return jax.grad(cost)(theta)
 
 
+def exact_extra_gradient(robot: RobotSpec, theta: jnp.ndarray,
+                         q0: jnp.ndarray, qN: jnp.ndarray, dt: float,
+                         constraints, w_constraint: float,
+                         w_torque: float) -> jnp.ndarray:
+    """∇_θ of the configured constraint (+ torque) cost terms by autodiff.
+
+    The reference's CHOMP ancestor had neither term, and until round 5 the
+    CHOMP mode here monitored them in the total while descending a gradient
+    without them — a constrained CHOMP solve reported success while leaving
+    the constraint violation exactly where the initialization put it. Both
+    terms are plain differentiable JAX (quaternion-free frame algebra /
+    RNE), so the exact discrete gradient is one `jax.grad` through the same
+    functions the evaluator runs."""
+    from tpustomp.costs.constraints import constraint_cost
+    from tpustomp.costs.torque import torque_cost
+    from tpustomp.engine.trajectory import full_trajectory
+
+    def cost(th):
+        full = full_trajectory(th, q0, qN)
+        c = jnp.float32(0.0)
+        if constraints is not None and w_constraint > 0.0:
+            c = c + w_constraint * jnp.sum(
+                constraint_cost(robot, constraints, full))
+        if w_torque > 0.0:
+            c = c + w_torque * jnp.sum(torque_cost(robot, full, dt))
+        return c
+
+    return jax.grad(cost)(theta)
+
+
 def chomp_gradient(ops, robot: RobotSpec, world, theta: jnp.ndarray,
                    q0: jnp.ndarray, qN: jnp.ndarray, full_traj: jnp.ndarray,
                    dt: float, clearance: float, w_obstacle: float,
@@ -128,14 +158,19 @@ def chomp_gradient(ops, robot: RobotSpec, world, theta: jnp.ndarray,
                    use_curvature: bool = True,
                    use_pseudo_inverse: bool = False,
                    pinv_ridge: float = 1e-4,
-                   gradient_mode: str = "functional") -> jnp.ndarray:
-    """Raw gradient ∇U = w_o ∇q_obs + w_s (Rθ + R_bias q): [N, d].
+                   gradient_mode: str = "functional",
+                   constraints=None, w_constraint: float = 0.0,
+                   w_torque: float = 0.0) -> jnp.ndarray:
+    """Raw gradient ∇U = w_o ∇q_obs + w_s (Rθ + R_bias q)
+    [+ w_c ∇q_con + w_τ ∇q_τ]: [N, d].
 
-    Shared by the plain CHOMP update and the HMC leapfrog force term.
+    Shared by the plain CHOMP update and the HMC leapfrog force term (so
+    the force field matches the U the Metropolis test evaluates).
     gradient_mode: "functional" (A.11, curvature per use_curvature) or
     "exact" (autodiff of the discretized cost; ignores use_pseudo_inverse,
     which reshapes the workspace force map and has no exact-gradient
-    analogue)."""
+    analogue). The constraint/torque terms are always the exact autodiff
+    gradient — they have no functional form in the reference."""
     if gradient_mode == "exact":
         g_obs = exact_obstacle_gradient(robot, world, theta, q0, qN, dt,
                                         clearance)
@@ -144,7 +179,11 @@ def chomp_gradient(ops, robot: RobotSpec, world, theta: jnp.ndarray,
                                              clearance, use_curvature,
                                              use_pseudo_inverse, pinv_ridge)
     g_smooth = smoothness_gradient(ops, theta, q0, qN)
-    return w_obstacle * g_obs + w_smoothness * g_smooth
+    g = w_obstacle * g_obs + w_smoothness * g_smooth
+    if (constraints is not None and w_constraint > 0.0) or w_torque > 0.0:
+        g = g + exact_extra_gradient(robot, theta, q0, qN, dt, constraints,
+                                     w_constraint, w_torque)
+    return g
 
 
 def chomp_delta(ops, robot: RobotSpec, world, theta: jnp.ndarray,
@@ -154,7 +193,9 @@ def chomp_delta(ops, robot: RobotSpec, world, theta: jnp.ndarray,
                 use_curvature: bool = True,
                 use_pseudo_inverse: bool = False,
                 pinv_ridge: float = 1e-4,
-                gradient_mode: str = "functional") -> jnp.ndarray:
+                gradient_mode: str = "functional",
+                constraints=None, w_constraint: float = 0.0,
+                w_torque: float = 0.0) -> jnp.ndarray:
     """One CHOMP update direction: −η·R⁻¹·(w_o ∇q_obs + w_s (Rθ + R_bias q)).
 
     The R⁻¹ preconditioner makes the smoothness part an exact Newton step
@@ -164,7 +205,8 @@ def chomp_delta(ops, robot: RobotSpec, world, theta: jnp.ndarray,
     """
     grad = chomp_gradient(ops, robot, world, theta, q0, qN, full_traj, dt,
                           clearance, w_obstacle, w_smoothness, use_curvature,
-                          use_pseudo_inverse, pinv_ridge, gradient_mode)
+                          use_pseudo_inverse, pinv_ridge, gradient_mode,
+                          constraints, w_constraint, w_torque)
     # precision=HIGHEST is load-bearing, not hygiene: the Newton-step
     # exactness above is the cancellation R⁻¹(Rθ + R_bias q) = θ − θ*, and
     # TPU's default fp32 matmul (bf16 passes, ~2⁻⁸ relative error against

@@ -95,6 +95,24 @@ def _sharded_solve(cfg: PlannerConfig, mesh: Mesh, has_constraints: bool,
     )
 
 
+def _key_rows(keys) -> np.ndarray:
+    """[B] PRNG keys as a shardable [B, W] uint32 array. New-style typed
+    keys (jax.random.key) cannot pass through np.asarray — unwrap them the
+    way engine/sampling._key_words does; raw uint32 keys pass unchanged."""
+    if jnp.issubdtype(jnp.asarray(keys).dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(keys))
+        if data.shape[-1] != 2:
+            raise ValueError(
+                f"plan_sharded scenario keys must be threefry (2-word) "
+                f"keys; got key_data width {data.shape[-1]} "
+                f"(impl {jax.random.key_impl(keys)}). Use "
+                "jax.random.split(jax.random.PRNGKey(seed), B) — the "
+                "hardware-RNG noise stream is selected via "
+                "NoiseConfig.prng_impl, not the scenario-key impl.")
+        return data
+    return np.asarray(keys)
+
+
 def _shard_batch(x: np.ndarray, mesh: Mesh):
     """Build a global device array from (process-local) batch data."""
     sharding = NamedSharding(mesh, P(SCENARIO_AXIS,
@@ -150,7 +168,7 @@ def plan_sharded(robot, world, problem: ProblemSpec,
             lambda x: _shard_batch(np.asarray(x, np.float32), mesh), hyper)
     return fn(robot, world, constraints, ops,
               _shard_batch(q0, mesh), _shard_batch(qN, mesh),
-              _shard_batch(np.asarray(keys), mesh), hyper)
+              _shard_batch(_key_rows(keys), mesh), hyper)
 
 
 @functools.lru_cache(maxsize=1)

@@ -318,7 +318,10 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                             cfg.learning_rate,
                             use_pseudo_inverse=cfg.use_pseudo_inverse,
                             pinv_ridge=cfg.pseudo_inverse_ridge_factor,
-                            gradient_mode=cfg.chomp_gradient_mode)
+                            gradient_mode=cfg.chomp_gradient_mode,
+                            constraints=constraints,
+                            w_constraint=cfg.weights.constraint,
+                            w_torque=cfg.weights.torque)
         # direction-preserving update cap (reference joint_update_limit)
         max_d = jnp.max(jnp.abs(delta))
         scale = jnp.minimum(1.0, cfg.chomp_joint_update_limit / (max_d + 1e-12))
@@ -361,7 +364,10 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
                                   cfg.weights.smoothness,
                                   use_pseudo_inverse=cfg.use_pseudo_inverse,
                                   pinv_ridge=cfg.pseudo_inverse_ridge_factor,
-                                  gradient_mode=cfg.chomp_gradient_mode)
+                                  gradient_mode=cfg.chomp_gradient_mode,
+                                  constraints=constraints,
+                                  w_constraint=cfg.weights.constraint,
+                                  w_torque=cfg.weights.torque)
 
         _hi = jax.lax.Precision.HIGHEST  # see chomp_delta: bf16-pass matmuls
         # break the R/R⁻¹ cancellations this integrator depends on
@@ -395,6 +401,12 @@ def make_step(robot: RobotSpec, world, constraints, cfg: PlannerConfig,
         th1, v1, _ = jax.lax.fori_loop(
             0, cfg.hmc_leapfrog_steps, leapfrog, (th0, v0, gradU(th0)))
         if cfg.hmc_metropolis:
+            # Known, accepted inefficiency: U(th0) equals the previous
+            # iteration's accepted U(th1) and could be carried in
+            # SolverState (~1 extra full evaluation per iteration,
+            # ~1/(hmc_leapfrog_steps+1) of the step). Not worth widening
+            # the state pytree (checkpoint format, every init/carry site)
+            # for an optional exploration mode.
             H0 = U(th0) + kinetic(v0)
             H1 = U(th1) + kinetic(v1)
             accept = (jax.random.uniform(k_acc)

@@ -928,14 +928,16 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
     C, T, d = full_trajs.shape
     tile = tile_c or TILE_C
     pad = (-C) % tile
-    padded = jnp.concatenate(
-        [full_trajs, jnp.broadcast_to(full_trajs[:1], (pad, T, d))], axis=0) \
-        if pad else full_trajs
 
     def _pad_cand_axis(x, n):
+        # pad-with-row-0: pads duplicate a real candidate so kernel math
+        # needs no masking; the single source of this semantic (the tm
+        # branch re-pads to its own tile via the same helper)
         return jnp.concatenate(
             [x, jnp.broadcast_to(x[:1], (n,) + x.shape[1:])], axis=0) \
             if n else x
+
+    padded = _pad_cand_axis(full_trajs, pad)
 
     # static body partition available (RobotSpec link-sorts at construction)
     # -> scratch-free unrolled kernel; else the rolled/staged fallback
@@ -1028,9 +1030,7 @@ def obstacle_cost_batch_pallas(robot, world, full_trajs: jnp.ndarray,
         # time-major needs tile 128 (lane axis = candidates); re-pad.
         tm_tile = 128 if tile_c is None else tile
         tm_pad = (-C) % tm_tile
-        padded_tm = jnp.concatenate(
-            [full_trajs, jnp.broadcast_to(full_trajs[:1], (tm_pad, T, d))],
-            axis=0) if tm_pad else full_trajs
+        padded_tm = _pad_cand_axis(full_trajs, tm_pad)
         flags = _tile_flags(row_active, C, tm_tile)
         fn = build_unrolled_kernel(shapes, dt, clearance, robot.body_counts,
                                    mode="analytic", interpret=interpret,

@@ -378,13 +378,26 @@ def load_urdf_group(xml_text: str, root: str | None = None,
         if carrier >= 0:
             if link.mass > 0:
                 m_old = masses[carrier]
-                com_new = T_xyz + T_rot @ link.com
+                com_child = T_xyz + T_rot @ link.com
                 m_tot = m_old + link.mass
-                coms[carrier] = (m_old * coms[carrier]
-                                 + link.mass * com_new) / m_tot
+                com_tot = (m_old * coms[carrier]
+                           + link.mass * com_child) / m_tot
+                # Each inertia is about its OWN com (URDF convention /
+                # RobotSpec contract), so merging needs the parallel-axis
+                # transport of both tensors to the merged com:
+                # I += m (||d||^2 I3 - d d^T). Adding the rotated child
+                # tensor alone underestimates by the transported mass
+                # terms (16x on a 2x1 kg, 0.3 m offset pair).
+                def _shift(I, m, d):
+                    return I + m * (float(d @ d) * np.eye(3)
+                                    - np.outer(d, d))
+                inertias[carrier] = (
+                    _shift(inertias[carrier], m_old,
+                           coms[carrier] - com_tot)
+                    + _shift(T_rot @ link.inertia @ T_rot.T, link.mass,
+                             com_child - com_tot))
+                coms[carrier] = com_tot
                 masses[carrier] = m_tot
-                inertias[carrier] = (inertias[carrier]
-                                     + T_rot @ link.inertia @ T_rot.T)
             for center, radius in link.spheres:
                 body_link.append(carrier)
                 body_offset.append(T_xyz + T_rot @ center)
